@@ -1,0 +1,41 @@
+"""physher-tpu: a TPU-native (JAX/XLA/Pallas) phylogenetic inference framework.
+
+A from-scratch rebuild of the capabilities of 4ment/physher (maximum-likelihood
+and Bayesian phylogenetics: tree likelihoods over nucleotide/amino-acid/codon
+substitution models, clock and coalescent models, ML / MCMC / variational /
+marginal-likelihood estimators), designed TPU-first:
+
+- the compute path is pure JAX (jit/vmap/grad) with Pallas kernels for the hot
+  pruning loops,
+- site patterns shard data-parallel over a ``jax.sharding.Mesh`` with ``psum``
+  reductions for log-likelihoods and gradients,
+- models are pure functions of parameter pytrees (no listener graphs); the
+  whole likelihood is recomputed inside one fused jitted function.
+
+Precision policy: correctness parity with the reference C implementation
+requires float64 (CPU); TPU execution uses float32/bfloat16 fast paths with
+documented tolerances. Call :func:`enable_x64` (or set ``PHYSHER_TPU_X64=1``)
+before touching jax arrays to run the f64 parity path.
+"""
+
+import os
+
+__version__ = "0.1.0"
+
+
+def enable_x64(enable: bool = True) -> None:
+    """Enable float64 computation globally (required for golden-value parity)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", enable)
+
+
+if os.environ.get("PHYSHER_TPU_X64", "0") == "1":
+    enable_x64()
+
+
+def default_dtype():
+    """The default floating dtype under the current jax x64 setting."""
+    import jax.numpy as jnp
+
+    return jnp.zeros(0).dtype

@@ -1,0 +1,109 @@
+"""Felsenstein pruning as level-batched tensor contractions (pure JAX).
+
+This replaces the reference's ~14.5 kLoC of state-count-specialized SIMD
+kernels (reference: src/phyc/treelikelihood4.c, treelikelihood20.c,
+treelikelihoodX.c, treelikelihoodCodon.c and the orchestrator
+src/phyc/treelikelihood.c:1454-1735) with one shape-polymorphic engine:
+
+- partials are a single buffer ``[N, C, S, P]`` (node, rate category, state,
+  pattern) with the pattern axis padded to a lane multiple and shardable
+  data-parallel across devices,
+- the postorder is executed as ``len(levels)`` batched steps; every node in a
+  level computes ``prod_children P_child @ partial_child`` as one einsum that
+  XLA maps onto the MXU (contraction over states, batch over node x category,
+  patterns as the lane dimension),
+- numerical rescaling is proactive per level (instead of the reference's
+  reactive switch at treelikelihood.c:1497-1520): per-node per-pattern max
+  factored out into a log accumulator, exact in the final log-likelihood.
+
+Everything is autodiff-compatible; gradients w.r.t. the P-matrices flow to
+branch lengths / substitution / clock parameters outside.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..trees.topology import Topology
+
+
+def pruning_partials(tip_partials: jnp.ndarray, pmats: jnp.ndarray,
+                     topo: Topology, *, rescale: bool = False):
+    """Run the postorder sweep.
+
+    Parameters
+    ----------
+    tip_partials : [T, S, P]
+    pmats        : [N, C, S, S] transition matrices of the branch above each
+                   node (root entry unused).
+    Returns
+    -------
+    partials [N, C, S, P], log_scalers [N, P] (zeros when rescale=False)
+    """
+    T, S, P = tip_partials.shape
+    N, C = pmats.shape[0], pmats.shape[1]
+    dtype = tip_partials.dtype
+    buf = jnp.zeros((N, C, S, P), dtype=dtype)
+    buf = buf.at[:T].set(tip_partials[:, None, :, :])
+    scal = jnp.zeros((N, P), dtype=dtype)
+
+    maxc = topo.children.shape[1]
+    for ranks in topo.levels:
+        nodes = topo.T + ranks
+        res = None
+        sc = None
+        for j in range(maxc):
+            ch = topo.children[ranks, j]  # numpy, static
+            mask = ch >= 0
+            ch_safe = np.where(mask, ch, 0)
+            pm = pmats[ch_safe]  # [n, C, S, S]
+            cp = buf[ch_safe]    # [n, C, S, P]
+            contrib = jnp.einsum("ncij,ncjp->ncip", pm, cp)
+            if not mask.all():
+                m = jnp.asarray(mask, dtype=dtype)[:, None, None, None]
+                contrib = contrib * m + (1.0 - m)
+            res = contrib if res is None else res * contrib
+            if rescale:
+                s = jnp.where(jnp.asarray(mask)[:, None], scal[ch_safe], 0.0)
+                sc = s if sc is None else sc + s
+        if rescale:
+            m = jnp.max(res, axis=(1, 2))  # [n, P]
+            m = jnp.maximum(m, jnp.finfo(dtype).tiny)
+            res = res / m[:, None, None, :]
+            scal = scal.at[nodes].set(sc + jnp.log(m))
+        buf = buf.at[nodes].set(res)
+    return buf, scal
+
+
+def root_log_likelihood(root_partials: jnp.ndarray, freqs: jnp.ndarray,
+                        props: jnp.ndarray, weights: jnp.ndarray,
+                        log_scalers: jnp.ndarray | None = None):
+    """Integrate over states and rate categories at the root and reduce.
+
+    root_partials: [C, S, P]; returns (total logL, per-pattern site log-liks).
+    The weighted sum is the data-parallel reduction point (psum across a
+    sharded pattern axis; reference: src/phyc/treelikelihood.c:1483-1486).
+    """
+    site_l = jnp.einsum("s,csp->cp", freqs, root_partials)
+    site_lik = jnp.einsum("c,cp->p", props, site_l)
+    site_log = jnp.log(site_lik)
+    if log_scalers is not None:
+        site_log = site_log + log_scalers
+    return jnp.sum(weights * site_log), site_log
+
+
+def tree_log_likelihood(tip_partials, pmats, topo: Topology, freqs, props,
+                        weights, *, rescale: bool = False):
+    """Full pruning likelihood: returns (logL, site_log_likelihoods)."""
+    buf, scal = pruning_partials(tip_partials, pmats, topo, rescale=rescale)
+    return root_log_likelihood(
+        buf[topo.root], freqs, props, weights,
+        scal[topo.root] if rescale else None,
+    )
+
+
+def pad_patterns(n: int, multiple: int = 128) -> int:
+    """Pattern-axis padding target (lane alignment / shard divisibility)."""
+    return int(-(-n // multiple) * multiple)

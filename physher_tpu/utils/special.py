@@ -1,0 +1,148 @@
+"""Special functions needed on the compute path (pure JAX, differentiable).
+
+Replaces the reference's special-function layer (reference: src/phyc/gamma.c
+qgamma, src/phyc/gausslaguerre.c, invgamma helpers) with jittable versions.
+``gammaincinv`` uses Wilson-Hilferty initialization + Newton iterations on the
+regularized lower incomplete gamma; its derivative w.r.t. the shape parameter
+is provided through implicit differentiation (the reference computes the same
+quantity for the analytic site-model gradient, src/phyc/sitemodel.c:258-308).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammainc, gammaln, ndtri, betainc
+
+
+@jax.custom_jvp
+def gammaincinv(a, p):
+    """x such that P(a, x) = p (regularized lower incomplete gamma inverse)."""
+    return _gammaincinv_raw(a, p)
+
+
+def _gammaincinv_raw(a, p):
+    a = jnp.asarray(a)
+    p = jnp.asarray(p)
+    dtype = jnp.result_type(a, p, jnp.zeros(0).dtype)
+    a = a.astype(dtype)
+    p = p.astype(dtype)
+    # Wilson-Hilferty initial guess
+    g = ndtri(p)
+    c = 2.0 / (9.0 * a)
+    x0 = a * (1.0 - c + g * jnp.sqrt(c)) ** 3
+    x0 = jnp.maximum(x0, jnp.asarray(1e-8, dtype))
+
+    def newton(x, _):
+        f = gammainc(a, x) - p
+        logpdf = (a - 1.0) * jnp.log(x) - x - gammaln(a)
+        step = f / jnp.exp(logpdf)
+        # dampen: limit to halving/doubling
+        step = jnp.clip(step, -0.5 * x, 0.5 * x)
+        return jnp.maximum(x - step, jnp.asarray(1e-300, dtype)), None
+
+    x, _ = jax.lax.scan(newton, x0, None, length=60)
+    return x
+
+
+@gammaincinv.defjvp
+def _gammaincinv_jvp(primals, tangents):
+    a, p = primals
+    da, dp = tangents
+    x = gammaincinv(a, p)
+    a = jnp.asarray(a, dtype=x.dtype)
+    p = jnp.asarray(p, dtype=x.dtype)
+    logpdf = (a - 1.0) * jnp.log(x) - x - gammaln(a)
+    dPdx = jnp.exp(logpdf)
+    # dP/da via high-order central difference (no closed form; the reference
+    # falls back to finite differences too, src/phyc/sitemodel.h:72)
+    eps = jnp.asarray(1e-5, x.dtype) * jnp.maximum(a, 1.0)
+    dPda = (
+        8.0 * (gammainc(a + eps, x) - gammainc(a - eps, x))
+        - (gammainc(a + 2 * eps, x) - gammainc(a - 2 * eps, x))
+    ) / (12.0 * eps)
+    da = jnp.zeros_like(x) + da
+    dp = jnp.zeros_like(x) + dp
+    dx = (dp - dPda * da) / dPdx
+    return x, dx
+
+
+def qgamma(p, shape, rate):
+    """Lower-tail gamma quantile (reference: src/phyc/gamma.c qgamma)."""
+    return gammaincinv(shape, p) / rate
+
+
+def qweibull1(p, shape):
+    """Weibull quantile with scale lambda=1 (reference:
+    src/phyc/sitemodel.c icdf_weibull_1)."""
+    return (-jnp.log1p(-p)) ** (1.0 / shape)
+
+
+def qlognormal(p, mu, sigma):
+    return jnp.exp(mu + sigma * ndtri(p))
+
+
+def qnorm(p, mu, sigma):
+    return mu + sigma * ndtri(p)
+
+
+@jax.custom_jvp
+def betaincinv(a, b, p):
+    """x such that I_x(a, b) = p (regularized incomplete beta inverse)."""
+    a, b, p = jnp.broadcast_arrays(*map(jnp.asarray, (a, b, p)))
+    dtype = jnp.result_type(a, jnp.zeros(0).dtype)
+    a, b, p = (t.astype(dtype) for t in (a, b, p))
+    x0 = jnp.clip(a / (a + b), 1e-8, 1 - 1e-8)
+
+    def bisect_newton(x, _):
+        f = betainc(a, b, x) - p
+        logpdf = (
+            (a - 1) * jnp.log(x) + (b - 1) * jnp.log1p(-x)
+            + gammaln(a + b) - gammaln(a) - gammaln(b)
+        )
+        step = f / jnp.exp(logpdf)
+        xn = x - step
+        xn = jnp.where((xn <= 0) | (xn >= 1), x - jnp.sign(f) * x * (1 - x) * 0.5, xn)
+        return jnp.clip(xn, 1e-15, 1 - 1e-15), None
+
+    x, _ = jax.lax.scan(bisect_newton, x0, None, length=80)
+    return x
+
+
+@betaincinv.defjvp
+def _betaincinv_jvp(primals, tangents):
+    a, b, p = primals
+    da, db, dp = tangents
+    x = betaincinv(a, b, p)
+    a, b, p = (jnp.asarray(t, x.dtype) for t in (a, b, p))
+    logpdf = (
+        (a - 1) * jnp.log(x) + (b - 1) * jnp.log1p(-x)
+        + gammaln(a + b) - gammaln(a) - gammaln(b)
+    )
+    dIdx = jnp.exp(logpdf)
+    eps = jnp.asarray(1e-6, x.dtype)
+    dIda = (betainc(a + eps, b, x) - betainc(a - eps, b, x)) / (2 * eps)
+    dIdb = (betainc(a, b + eps, x) - betainc(a, b - eps, x)) / (2 * eps)
+    da = jnp.zeros_like(x) + da
+    db = jnp.zeros_like(x) + db
+    dp = jnp.zeros_like(x) + dp
+    dx = (dp - dIda * da - dIdb * db) / dIdx
+    return x, dx
+
+
+def gauss_laguerre(n: int):
+    """Nodes/weights of n-point Gauss-Laguerre quadrature (host-side numpy),
+    generalized weight x^alpha handled by caller (reference:
+    src/phyc/gausslaguerre.c gaulag)."""
+    import numpy as np
+
+    return np.polynomial.laguerre.laggauss(n)
+
+
+def log1mexp(x):
+    """log(1 - exp(-x)) for x > 0, numerically stable."""
+    return jnp.where(
+        x < jnp.log(2.0), jnp.log(-jnp.expm1(-x)), jnp.log1p(-jnp.exp(-x))
+    )
