@@ -144,6 +144,9 @@ def reversible_eig(Q: jnp.ndarray, pi: jnp.ndarray):
     S = Q * (sq[..., :, None] / sq[..., None, :])
     S = 0.5 * (S + S.swapaxes(-1, -2))
     lam, W = jnp.linalg.eigh(S)
+    # a generator's spectrum is <= 0; clamp the numerical-noise positive tail
+    # (in f32 a +1e-6 eigenvalue times a large branch length explodes exp())
+    lam = jnp.minimum(lam, 0.0)
     V = W / sq[..., :, None]
     Vinv = W.swapaxes(-1, -2) * sq[..., None, :]
     return lam, V, Vinv
