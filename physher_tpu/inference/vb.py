@@ -1,0 +1,170 @@
+"""Variational inference: ADVI with mean-field / full-rank normal families.
+
+Rebuild of the reference's variational stack (reference: src/phyc/vb.c
+variational_t + blocks, src/phyc/klqp.c reverse-KL ELBO with the
+reparameterization trick, multi-sample ELBO klqp.h:17-19, transforms +
+log-Jacobians src/phyc/transforms.c). The variational posterior lives on the
+unconstrained space of a ParamSpace; constrain() + log_jacobian reproduce the
+reference's transform bookkeeping (klqp.c:340-430).
+
+The variational family is itself a model: ``elbo`` plays logP, its gradient
+is the reparameterized grad-ELBO, and ``sample`` supports importance
+sampling / posterior draws (reference: vb.c:1000-1092 — the Variational
+object IS a Model). Everything is jitted; chains of ELBO gradient steps run
+as one fused scan.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.parameters import ParamSpace
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+
+@dataclass
+class VBResult:
+    vparams: dict
+    elbo: float
+    iterations: int
+    history: list = field(default_factory=list)
+
+
+class MeanFieldNormalVB:
+    """Fully-factorized normal over the unconstrained space (reference:
+    klqp.c klqp_block_meanfield_normal_*)."""
+
+    def __init__(self, log_prob: Callable, space: ParamSpace, params: dict,
+                 init_sigma: float = 0.1):
+        self.log_prob = log_prob
+        self.space = space
+        self.dim = space.unconstrained_size
+        u0 = space.flatten_unconstrained(space.unconstrain(params))
+        self.init = {
+            "loc": jnp.asarray(u0),
+            "log_scale": jnp.full(self.dim, jnp.log(init_sigma),
+                                  dtype=u0.dtype),
+        }
+
+    def _target(self, z):
+        uparams = self.space.unflatten_unconstrained(z)
+        return (self.log_prob(self.space.constrain(uparams))
+                + self.space.log_jacobian(uparams))
+
+    def sample_unconstrained(self, vparams, key, n: int):
+        eps = jax.random.normal(key, (n, self.dim),
+                                dtype=vparams["loc"].dtype)
+        return vparams["loc"] + jnp.exp(vparams["log_scale"]) * eps
+
+    def log_q(self, vparams, z):
+        scale = jnp.exp(vparams["log_scale"])
+        r = (z - vparams["loc"]) / scale
+        return jnp.sum(-0.5 * (LOG_2PI + r * r) - vparams["log_scale"], -1)
+
+    def entropy(self, vparams):
+        return jnp.sum(vparams["log_scale"]) + 0.5 * self.dim * (1.0 + LOG_2PI)
+
+    def elbo(self, vparams, key, n_samples: int = 1):
+        z = self.sample_unconstrained(vparams, key, n_samples)
+        lp = jax.vmap(self._target)(z)
+        return jnp.mean(lp) + self.entropy(vparams)
+
+    def sample(self, vparams, key, n: int):
+        """Constrained-space posterior draws + their log q (for IS)."""
+        z = self.sample_unconstrained(vparams, key, n)
+        logq = self.log_q(vparams, z) - jax.vmap(
+            lambda zz: self.space.log_jacobian(
+                self.space.unflatten_unconstrained(zz)))(z)
+        params = jax.vmap(
+            lambda zz: self.space.constrain(
+                self.space.unflatten_unconstrained(zz)))(z)
+        return params, logq
+
+
+class FullRankNormalVB(MeanFieldNormalVB):
+    """Multivariate normal with Cholesky scale (reference: klqp.c fullrank +
+    vb.c multivariatenormal block)."""
+
+    def __init__(self, log_prob, space, params, init_sigma: float = 0.1):
+        super().__init__(log_prob, space, params, init_sigma)
+        d = self.dim
+        self.tril_idx = np.tril_indices(d, -1)
+        self.init = {
+            "loc": self.init["loc"],
+            "log_diag": jnp.full(d, jnp.log(init_sigma)),
+            "off": jnp.zeros(len(self.tril_idx[0])),
+        }
+
+    def _scale_tril(self, vparams):
+        d = self.dim
+        L = jnp.zeros((d, d), dtype=vparams["loc"].dtype)
+        L = L.at[self.tril_idx].set(vparams["off"])
+        return L + jnp.diag(jnp.exp(vparams["log_diag"]))
+
+    def sample_unconstrained(self, vparams, key, n: int):
+        eps = jax.random.normal(key, (n, self.dim),
+                                dtype=vparams["loc"].dtype)
+        L = self._scale_tril(vparams)
+        return vparams["loc"] + eps @ L.T
+
+    def log_q(self, vparams, z):
+        L = self._scale_tril(vparams)
+        y = jax.scipy.linalg.solve_triangular(
+            L, (z - vparams["loc"]).T, lower=True).T
+        return (-0.5 * jnp.sum(y * y, -1)
+                - 0.5 * self.dim * LOG_2PI - jnp.sum(vparams["log_diag"]))
+
+    def entropy(self, vparams):
+        return jnp.sum(vparams["log_diag"]) + 0.5 * self.dim * (1.0 + LOG_2PI)
+
+
+def fit(vb, key, *, steps: int = 5000, learning_rate: float = 0.02,
+        grad_samples: int = 1, elbo_samples: int = 100,
+        elbo_every: int = 100, tol: float = 1e-4, patience: int = 10,
+        log_every: int = 0) -> VBResult:
+    """Adam on the negative ELBO (reference: optimizer.c OPT_SG_ADAM +
+    gradascent.c loop with periodic multi-sample ELBO checks)."""
+    opt = optax.adam(learning_rate)
+    vparams = vb.init
+    state = opt.init(vparams)
+
+    @jax.jit
+    def step(vparams, state, key):
+        val, grads = jax.value_and_grad(
+            lambda vp: -vb.elbo(vp, key, grad_samples))(vparams)
+        updates, state = opt.update(grads, state, vparams)
+        return optax.apply_updates(vparams, updates), state, -val
+
+    @jax.jit
+    def eval_elbo(vparams, key):
+        return vb.elbo(vparams, key, elbo_samples)
+
+    best = -np.inf
+    best_v = vparams
+    since = 0
+    history = []
+    it = 0
+    for it in range(steps):
+        key, sub = jax.random.split(key)
+        vparams, state, val = step(vparams, state, sub)
+        if (it + 1) % elbo_every == 0:
+            key, sub = jax.random.split(key)
+            e = float(eval_elbo(vparams, sub))
+            history.append(e)
+            if log_every:
+                print(f"iter {it+1} elbo {e:.4f}")
+            if e > best + tol:
+                best, best_v, since = e, vparams, 0
+            else:
+                since += 1
+                if since >= patience:
+                    break
+    return VBResult(best_v, best, it + 1, history)
