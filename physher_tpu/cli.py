@@ -1,0 +1,82 @@
+"""physher-tpu CLI: run reference-format JSON configs.
+
+Rebuild of the reference's main program (reference: src/physher.c:62-326):
+parse the config, build the model graph, execute the ``physher`` action list.
+Flags mirror the reference: ``--seed``, ``--dry`` (print resolved config),
+``-c`` checkpoint restore. Extra TPU-era flags: ``--platform``, ``--f64``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="physher-tpu",
+        description="TPU-native phylogenetic inference (physher-compatible "
+                    "JSON configs)")
+    ap.add_argument("config", help="JSON config file")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="random seed (overrides config init.seed)")
+    ap.add_argument("--dry", action="store_true",
+                    help="print the resolved config and exit")
+    ap.add_argument("-c", "--checkpoint", default=None,
+                    help="restore parameter values from a checkpoint CSV")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform (cpu/tpu); default: jax's choice")
+    ap.add_argument("--f64", action="store_true", default=None,
+                    help="enable float64 (default on CPU)")
+    args = ap.parse_args(argv)
+
+    # NOTE: on this image the axon TPU plugin prepends itself to
+    # jax_platforms at import time, so the env var alone cannot select the
+    # CPU — force via config.update after import.
+    platform = args.platform or os.environ.get("PHYSHER_TPU_PLATFORM")
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    f64 = args.f64
+    if f64 is None:
+        f64 = jax.default_backend() == "cpu"
+    jax.config.update("jax_enable_x64", bool(f64))
+
+    with open(args.config) as fh:
+        cfg = json.load(fh)
+
+    from .config.builder import build_config, _prune
+
+    if args.dry:
+        json.dump(_prune(cfg), sys.stdout, indent=2)
+        print()
+        return 0
+
+    t0 = time.time()
+    base_dir = os.path.dirname(os.path.abspath(args.config))
+    ctx, actions = build_config(cfg, base_dir=base_dir)
+    seed = args.seed if args.seed is not None else getattr(ctx, "seed", 0)
+
+    from .config.actions import Runner
+
+    runner = Runner(ctx, seed=seed)
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        from .inference.ml import load_checkpoint
+
+        # seed the pool from the checkpoint over every model's parameters
+        pool = {}
+        for obj in ctx.objects.values():
+            if hasattr(obj, "param_space"):
+                pool.update(obj.param_space().init_params())
+        runner.pool = dict(load_checkpoint(args.checkpoint, pool))
+    runner.run(actions)
+    print(f"Total runtime: {time.time() - t0:.3f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

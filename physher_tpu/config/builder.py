@@ -52,7 +52,31 @@ class Context:
         self.param_names: dict[str, str] = {}
         # simplex id -> spec name
         self.simplex_names: dict[str, str] = {}
+        # composite name -> list of spec names (e.g. reparam vector aliases)
+        self.slices: dict[str, list] = {}
         self.extra_specs: list[ParamSpec] = []
+
+    def resolve_target(self, ref) -> list:
+        """Resolve '&id' / '%name' / '$id' to a list of spec names
+        (reference: src/phyc/parameters.h:384-392)."""
+        if isinstance(ref, list):
+            out = []
+            for r in ref:
+                out.extend(self.resolve_target(r))
+            return out
+        if not isinstance(ref, str):
+            raise ValueError(f"cannot resolve target {ref!r}")
+        if ref.startswith("&") or ref.startswith("$"):
+            name = ref[1:]
+        elif ref.startswith("%"):
+            name = ref[1:]
+        else:
+            name = ref
+        if name in self.slices:
+            return list(self.slices[name])
+        if name in self.param_names:
+            return [self.param_names[name]]
+        return [name]
 
     def register(self, id_, obj):
         if id_:
@@ -255,9 +279,9 @@ def build_substitution_model(node, ctx: Context) -> SubstitutionModel:
     elif model == "nonstat":
         sm = NONSTAT(prefix)
     elif model in ("wag", "lg", "dayhoff"):
-        from .protein import empirical_protein_model
+        from ..models.protein import EmpiricalProtein
 
-        sm = empirical_protein_model(model, prefix, freqs_init=freqs_init)
+        sm = EmpiricalProtein(model, prefix, freqs_init=freqs_init)
     elif model in ("mg94", "gy94"):
         from ..models.codon import MG94, GY94
 
@@ -277,7 +301,7 @@ def build_substitution_model(node, ctx: Context) -> SubstitutionModel:
 
     # rename spec keys to honor JSON parameter ids
     if freqs_name is not None and hasattr(sm, "freqs_init"):
-        ctx.param_names.setdefault(freqs_name, sm.key("frequencies"))
+        ctx.param_names[freqs_name] = sm.key("frequencies")
         ctx.simplex_names[freqs_name] = sm.key("frequencies")
     if isinstance(rates_node, dict):
         for key, sub in rates_node.items():
@@ -365,12 +389,14 @@ def build_sitemodel(node, ctx: Context):
 
 
 def build_tree(node, ctx: Context):
-    """Returns (topology, distances, TimeTreeData|None).
+    """Returns a TreeHandle.
 
     Mirrors new_TreeModel_from_json (reference: src/phyc/tree.c:1183-1300).
     """
+    from .treehandle import TreeHandle
+
     node = ctx.resolve(node)
-    if isinstance(node, tuple):
+    if isinstance(node, TreeHandle):
         return node
     time_tree = bool(node.get("time", False))
     dates = node.get("dates")
@@ -388,6 +414,10 @@ def build_tree(node, ctx: Context):
         # (reference: src/phyc/distancematrix.c create_DistanceMatrix_from_json)
         model = str(init.get("model", "uncorrected")).lower()
         actual = "jc69" if model == "uncorrected" else "uncorrected"
+        if sp.datatype.state_count == 20:
+            # amino-acid data always uses the protein Kimura correction
+            # (reference: distancematrix.c:641-646 SitePattern_distance)
+            actual = "kimura"
         D = distance_matrix(sp, actual)
         topo, distances = (nj if algorithm == "nj" else upgma)(sp.taxa, D)
     else:
@@ -395,9 +425,30 @@ def build_tree(node, ctx: Context):
     td = None
     if dates is not None or time_tree:
         td = TimeTreeData.from_dated_tree(topo, distances, dates)
-    result = (topo, distances, td)
-    ctx.register(node.get("id"), result)
-    return result
+    handle = TreeHandle(topo, distances, td, prefix="tree.")
+    ctx.register(node.get("id"), handle)
+    # parameter-name aliases declared on the tree node
+    # (reference: tree.c:1183-1199 allowed keys; examples use e.g.
+    #  "reparam": "tree.scalers", "ratios": "tree.ratios")
+    if td is not None:
+        ratio_specs = ["tree.ratios", "tree.root_height"]
+        for key, specs in (
+            ("reparam", ratio_specs),
+            ("ratios", ["tree.ratios"]),
+            ("root_height", ["tree.root_height"]),
+            ("heights", ratio_specs),
+        ):
+            alias = node.get(key)
+            if isinstance(alias, str):
+                ctx.slices[alias] = specs
+        ctx.slices.setdefault("tree.ratios", ["tree.ratios"])
+        ctx.slices.setdefault("tree.root_height", ["tree.root_height"])
+    else:
+        alias = node.get("parameters")
+        if isinstance(alias, str):
+            ctx.slices[alias] = ["tree.distances"]
+        ctx.slices.setdefault("tree.distances", ["tree.distances"])
+    return handle
 
 
 # -- branch/clock models ----------------------------------------------------
@@ -438,7 +489,8 @@ def build_treelikelihood(node, ctx: Context) -> TreeLikelihood:
     site_model, subst = build_sitemodel(node.get("sitemodel"), ctx)
     if subst is None:
         subst = build_substitution_model(node["substitutionmodel"], ctx)
-    topo, distances, td = build_tree(node["tree"], ctx)
+    handle = build_tree(node["tree"], ctx)
+    topo, distances, td = handle.topo, handle.distances, handle.td
     clock = None
     if "branchmodel" in node:
         clock = build_branchmodel(node["branchmodel"], ctx, topo.N)

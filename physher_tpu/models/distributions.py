@@ -92,6 +92,7 @@ def weibull_logpdf(x, shape, scale=1.0):
 
 
 def dirichlet_logpdf(x, alpha):
+    alpha = jnp.broadcast_to(jnp.asarray(alpha, dtype=x.dtype), x.shape)
     return (jnp.sum((alpha - 1.0) * jnp.log(x), -1)
             + gammaln(jnp.sum(alpha, -1)) - jnp.sum(gammaln(alpha), -1))
 

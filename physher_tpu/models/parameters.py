@@ -219,6 +219,15 @@ class ParamSpace:
 
     # -- flat vector view (for L-BFGS / Laplace / fullrank VI) ------------
 
+    def unconstrained_slices(self) -> dict:
+        """{spec name: (offset, size)} into the flat unconstrained vector."""
+        out = {}
+        i = 0
+        for s in self.free_specs():
+            out[s.name] = (i, s.unconstrained_size)
+            i += s.unconstrained_size
+        return out
+
     def flatten_unconstrained(self, uparams: dict) -> jnp.ndarray:
         parts = [jnp.ravel(uparams[s.name]) for s in self.free_specs()]
         return jnp.concatenate(parts) if parts else jnp.zeros((0,))

@@ -44,7 +44,7 @@ class TreeLikelihood:
                  *, clock: BranchModel = None, time_data: TimeTreeData = None,
                  distances_init: np.ndarray = None,
                  include_jacobian: bool = False, tipstates: bool = False,
-                 use_ambiguities: bool = True, rescale: bool = False,
+                 use_ambiguities: bool = True, rescale: bool | None = None,
                  pattern_pad_multiple: int = 1, prefix: str = "tree.",
                  dtype=None):
         if site_model is None:
@@ -56,9 +56,14 @@ class TreeLikelihood:
         self.clock = clock
         self.time_data = time_data
         self.include_jacobian = include_jacobian
-        self.rescale = rescale
         self.prefix = prefix
         self.dtype = dtype or jnp.zeros(0).dtype
+        if rescale is None:
+            # f32 partials underflow on realistic trees; rescaling is exact
+            # (the reference switches it on reactively at -inf,
+            # treelikelihood.c:1497-1520; we enable it up front)
+            rescale = jnp.dtype(self.dtype).itemsize < 8
+        self.rescale = rescale
 
         if time_data is not None and clock is None:
             raise ValueError("time mode requires a clock (branch rate) model")
