@@ -65,6 +65,18 @@ class Runner:
         max_iter = int(node.get("max", 1000))
         tol = float(node.get("precision", node.get("tol", 1e-3)))
 
+        # meta schedules containing a topology sub-optimizer run the tree
+        # search (which interleaves branch-length optimization itself;
+        # reference: optimizer.c meta with OPT_TOPOLOGY + topologyopt.c)
+        sub_algs = [str(s.get("algorithm", "")).lower()
+                    for s in node.get("list", [])]
+        if algorithm == "topology" or "topology" in sub_algs:
+            move = "nni"
+            for s in node.get("list", []) + [node]:
+                if str(s.get("algorithm", "")).lower() == "topology":
+                    move = str(s.get("move", "nni")).lower()
+            return self._run_topology_search(node, model, move, tol)
+
         if isinstance(model, VariationalHandle):
             # SG/Adam on the ELBO (reference: optimizer.c OPT_SG/OPT_SG_ADAM
             # driving the variational model, JC69-time-ELBO.json)
@@ -109,6 +121,40 @@ class Runner:
         self.results[node.get("id", "optimizer")] = res
         print(f"Maximum log likelihood: {res.logp:.6f} "
               f"({res.iterations} iterations)", file=self.out)
+        return res
+
+    def _run_topology_search(self, node, model, move, tol):
+        from ..inference.topology_search import TopologySearch
+        from ..models.treelikelihood import TreeLikelihood
+        import numpy as np
+
+        tlk = model
+
+        def factory(topo, dist):
+            return TreeLikelihood(
+                tlk.sp, topo, tlk.subst, tlk.site_model,
+                distances_init=np.nan_to_num(
+                    np.asarray(dist)[: topo.N - 1], nan=0.05),
+                tipstates=False, prefix=tlk.prefix, dtype=tlk.dtype)
+
+        search = TopologySearch(factory, algorithm=move, tol=max(tol, 1e-3))
+        dist0 = np.concatenate([np.asarray(tlk.distances_init), [np.nan]])
+        res = search.run(tlk.topo, dist0)
+        # replace the registered likelihood with the final tree's
+        final = factory(res.topology, res.distances)
+        for key, obj in list(self.ctx.objects.items()):
+            if obj is tlk:
+                self.ctx.objects[key] = final
+            if hasattr(obj, "is_time_tree") and obj.topo is tlk.topo:
+                obj.topo = res.topology
+                obj.distances = res.distances
+        self.update_pool({"tree.distances":
+                          np.nan_to_num(res.distances[: res.topology.N - 1],
+                                        nan=0.0)})
+        self.results[node.get("id", "topology")] = res
+        print(f"Topology search ({move}): logP {res.logp:.6f}, "
+              f"{res.moves_accepted} moves accepted in {res.rounds} rounds",
+              file=self.out)
         return res
 
     def action_mcmc(self, node):
@@ -266,6 +312,325 @@ class Runner:
                 params = self.params_for(obj.param_space())
                 print(f"{m.lstrip('&')}: {float(fn(params)):.6f}",
                       file=self.out)
+
+    # -- likelihood analyses (reference: physher.c:289-305 actions) --------
+
+    def _tlk_and_params(self, node, key="model"):
+        tlk = self.ctx.resolve(node.get(key, node.get("treelikelihood",
+                                                      "&treelikelihood")))
+        return tlk, self.params_for(tlk.param_space())
+
+    def action_asr(self, node):
+        from ..likelihood.analysis import ancestral_sequences
+
+        tlk, params = self._tlk_and_params(node)
+        seqs = ancestral_sequences(tlk, params)
+        self.results[node.get("id", "asr")] = seqs
+        fname = node.get("file")
+        if fname:
+            from ..io.seqio import write_fasta
+
+            write_fasta(seqs, self._path(fname))
+        else:
+            for k in list(seqs)[:3]:
+                print(f">{k}\n{seqs[k][:60]}...", file=self.out)
+        return seqs
+
+    def action_ppsite(self, node):
+        from ..likelihood.analysis import site_rate_posteriors
+
+        tlk, params = self._tlk_and_params(node)
+        post = site_rate_posteriors(tlk, params)
+        self.results[node.get("id", "ppsite")] = post
+        fname = node.get("file")
+        if fname:
+            np.savetxt(self._path(fname), post.T, fmt="%.6g", delimiter="\t")
+        return post
+
+    def action_cat(self, node):
+        from ..likelihood.analysis import cat_assignment
+
+        tlk, params = self._tlk_and_params(node)
+        cats = cat_assignment(tlk, params)
+        self.results[node.get("id", "cat")] = cats
+        fname = node.get("file")
+        if fname:
+            np.savetxt(self._path(fname), cats, fmt="%d")
+        return cats
+
+    def action_simultron(self, node):
+        """Sequence simulation (reference: physher.c:289-292, physim.c)."""
+        from ..likelihood.analysis import simulate_alignment
+        from ..io.seqio import write_fasta, write_nexus_alignment
+
+        tlk, params = self._tlk_and_params(node)
+        n_sites = int(node.get("length", node.get("sites",
+                                                  tlk.sp.site_count)))
+        bl = np.asarray(tlk.branch_lengths(params))
+        seqs = simulate_alignment(self.next_key(), tlk.topo, tlk.subst,
+                                  tlk.site_model, params, bl, n_sites)
+        fname = node.get("output", node.get("file"))
+        if fname:
+            fmt = str(node.get("format", "fasta")).lower()
+            if fmt == "nexus":
+                write_nexus_alignment(seqs, self._path(fname))
+            else:
+                write_fasta(seqs, self._path(fname))
+        self.results[node.get("id", "simultron")] = seqs
+        return seqs
+
+    def action_sbn(self, node):
+        """SBN estimation from a tree log (reference: physher.c:293, sbn.c)."""
+        from ..inference.sbn import SBN
+        from ..io.treeio import TreeFileIterator
+
+        fname = node.get("file", node.get("trees"))
+        sbn = SBN()
+        burnin = float(node.get("burnin", 0.0))
+        trees = list(TreeFileIterator(self._path(fname)))
+        start = int(len(trees) * burnin)
+        for topo, _ in trees[start:]:
+            sbn.add_tree(topo)
+        roots, conds = sbn.probabilities()
+        print(f"SBN: {len(roots)} rootsplits, {len(conds)} parent clades "
+              f"from {sbn.n_trees:.0f} trees", file=self.out)
+        self.results[node.get("id", "sbn")] = sbn
+        return sbn
+
+    def action_mmcmc(self, node):
+        """Tempered-ladder MCMC, batched over temperatures (reference:
+        src/phyc/mmcmc.c — which runs them sequentially)."""
+        from ..inference import marginal as marg
+
+        model = self.ctx.resolve(node.get("model"))
+        # expect a compound: likelihood + prior split
+        like, prior = self._split_like_prior(model)
+        space = model.param_space()
+        params = self.params_for(space)
+        n_temps = int(node.get("temperatures", node.get("steps", 16)))
+        length = int(node.get("length", 10000))
+        temps, lls, res = marg.run_tempered_ladder(
+            self.next_key(), space, like, prior, params, n_temps=n_temps,
+            n_iter=length, every=int(node.get("every", 10)),
+            burnin=int(node.get("burnin", length // 10)),
+            distribution_power=float(node.get("power", 0.3)))
+        self.results[node.get("id", "mmcmc")] = (temps, lls, res)
+        ss, _ = marg.log_stepping_stone(lls, temps)
+        ps, _ = marg.log_path_sampling(lls, temps)
+        print(f"log marginal likelihood: stepping-stone {ss:.4f}, "
+              f"path-sampling {ps:.4f}", file=self.out)
+        return temps, lls, res
+
+    def _split_like_prior(self, model):
+        """Split a compound model into (likelihood, prior) callables."""
+        from ..models.distributions import CompoundModel
+        from ..models.treelikelihood import TreeLikelihood
+
+        if isinstance(model, CompoundModel):
+            likes = [c for c in model.components
+                     if isinstance(c, TreeLikelihood)]
+            priors = [c for c in model.components
+                      if not isinstance(c, TreeLikelihood)]
+            like = lambda p: sum(l.log_likelihood(p) for l in likes)  # noqa
+            prior = lambda p: sum((c.log_prob(p) for c in priors), 0.0)  # noqa
+            return like, prior
+        return self.model_logprob(model), lambda p: 0.0
+
+    def action_marginallikelihood(self, node):
+        """Estimate marginal likelihood from a stored mmcmc result
+        (reference: marginal.c _marginal_likelihood_run reads logs)."""
+        from ..inference import marginal as marg
+
+        ref = node.get("mmcmc", "mmcmc")
+        stored = self.results.get(ref.lstrip("&") if isinstance(ref, str)
+                                  else "mmcmc")
+        if stored is None:
+            raise ValueError("marginallikelihood needs a prior mmcmc action")
+        temps, lls, _ = stored
+        methods = node.get("methods",
+                           ["stepping", "path", "harmonic", "stabilized"])
+        out = {}
+        for m in methods:
+            if m in ("stepping", "ss"):
+                out[m] = marg.log_stepping_stone(lls, temps)[0]
+            elif m in ("path", "ps"):
+                out[m] = marg.log_path_sampling(lls, temps)[0]
+            elif m == "path2":
+                out[m] = marg.log_path_sampling_modified(lls, temps)[0]
+            elif m == "harmonic":
+                out[m] = marg.log_harmonic_mean(lls[-1])
+            elif m == "stabilized":
+                out[m] = marg.log_stabilized_harmonic_mean(lls[-1])
+            elif m == "arithmetic":
+                out[m] = marg.log_arithmetic_mean(lls[0])
+        for m, v in out.items():
+            print(f"{m}: {v:.6f}", file=self.out)
+        self.results[node.get("id", "marginal")] = out
+        return out
+
+    def action_laplace(self, node):
+        from ..inference import marginal as marg
+
+        model = self.ctx.resolve(node.get("model"))
+        space = model.param_space()
+        params = self.params_for(space)
+        val = marg.laplace_marginal(self.model_logprob(model), space, params)
+        print(f"Laplace log marginal likelihood: {val:.6f}", file=self.out)
+        self.results[node.get("id", "laplace")] = val
+        return val
+
+    def action_bridgesampling(self, node):
+        from ..inference import marginal as marg
+        from ..inference import mcmc as mcmc_mod
+
+        model = self.ctx.resolve(node.get("model"))
+        space = model.param_space()
+        params = self.params_for(space)
+        log_prob = self.model_logprob(model)
+        sampler = mcmc_mod.MCMC(space, log_prob)
+        res = sampler.run(self.next_key(), params,
+                          n_iter=int(node.get("length", 20000)),
+                          every=10, burnin=int(node.get("burnin", 2000)))
+        su = jnp.asarray(res.samples_u.reshape(-1, res.samples_u.shape[-1]))
+
+        def log_unnorm(z):
+            up = space.unflatten_unconstrained(z)
+            return log_prob(space.constrain(up)) + space.log_jacobian(up)
+
+        val = marg.bridge_sampling_marginal(su, log_unnorm, space,
+                                            self.next_key())
+        print(f"Bridge-sampling log marginal likelihood: {val:.6f}",
+              file=self.out)
+        self.results[node.get("id", "bridge")] = val
+        return val
+
+    def action_is(self, node):
+        """Importance-sampling marginal with a variational proposal
+        (reference: src/phyc/is.c, action 'is'/'vbis')."""
+        from ..inference import marginal as marg
+
+        var = self.ctx.resolve(node.get("variational", node.get("model")))
+        n = int(node.get("samples", 1000))
+        log_prob = self.model_logprob(var.posterior)
+        val = marg.importance_sampling_marginal(
+            self.next_key(), var.family, var.vparams, log_prob, n_samples=n)
+        print(f"IS log marginal likelihood: {val:.6f}", file=self.out)
+        self.results[node.get("id", "is")] = val
+        return val
+
+    def action_nest(self, node):
+        from ..inference import marginal as marg
+
+        model = self.ctx.resolve(node.get("model"))
+        like, prior = self._split_like_prior(model)
+        space = model.param_space()
+        params = self.params_for(space)
+        u0 = space.flatten_unconstrained(space.unconstrain(params))
+        dim = u0.shape[0]
+
+        def sample_prior(key, n):
+            # diffuse overdispersed start around the current point
+            return u0 + 2.0 * jax.random.normal(key, (n, dim), dtype=u0.dtype)
+
+        val = marg.nested_sampling(
+            self.next_key(), space, like, sample_prior,
+            n_live=int(node.get("points", 100)),
+            max_iter=int(node.get("max", 5000)))
+        print(f"Nested-sampling log evidence (approx): {val:.6f}",
+              file=self.out)
+        self.results[node.get("id", "nest")] = val
+        return val
+
+    def action_cpo(self, node):
+        """CPO / LPML from per-site log-likelihood samples of an MCMC run
+        (reference: src/phyc/cpo.c reads sitewise logs)."""
+        from ..inference.modelselection import cpo as cpo_fn
+
+        ref = str(node.get("mcmc", "mcmc")).lstrip("&")
+        res = self.results.get(ref)
+        tlk, _ = self._tlk_and_params(node, key="treelikelihood")
+        if res is None:
+            raise ValueError("cpo needs a prior mcmc action")
+        space = res.space
+        z = jnp.asarray(res.samples_u[:, 0])
+        batch = jax.jit(jax.vmap(lambda zz: tlk.site_log_likelihoods(
+            space.constrain(space.unflatten_unconstrained(zz)))))
+        site_lls = np.asarray(batch(z))
+        log_cpo, lpml = cpo_fn(site_lls, tlk.sp.weights)
+        print(f"LPML: {lpml:.6f}", file=self.out)
+        self.results[node.get("id", "cpo")] = (log_cpo, lpml)
+        return log_cpo, lpml
+
+    def action_mc(self, node):
+        """Plain Monte Carlo marginal: average likelihood under prior draws
+        (reference: src/phyc/mc.c)."""
+        from ..inference import marginal as marg
+
+        model = self.ctx.resolve(node.get("model"))
+        like, prior = self._split_like_prior(model)
+        space = model.param_space()
+        params = self.params_for(space)
+        # sample from the prior via MCMC on the prior only
+        from ..inference import mcmc as mcmc_mod
+
+        sampler = mcmc_mod.MCMC(space, lambda p: prior(p))
+        res = sampler.run(self.next_key(), params,
+                          n_iter=int(node.get("length", 10000)), every=10,
+                          burnin=1000)
+        z = jnp.asarray(res.samples_u[:, 0])
+        batch = jax.jit(jax.vmap(lambda zz: like(
+            space.constrain(space.unflatten_unconstrained(zz)))))
+        lls = np.asarray(batch(z))
+        val = marg.log_arithmetic_mean(lls)
+        print(f"MC log marginal likelihood: {val:.6f}", file=self.out)
+        self.results[node.get("id", "mc")] = val
+        return val
+
+    def action_predictive(self, node):
+        """Posterior-predictive simulation check (reference:
+        src/phyc/predictive.c)."""
+        from ..likelihood.analysis import simulate_alignment
+        from ..inference.modelselection import posterior_predictive_pvalue
+
+        tlk, params = self._tlk_and_params(node)
+        n_sims = int(node.get("samples", 100))
+
+        def stat(sp):
+            return sp.pattern_count  # simple diversity statistic
+
+        obs = stat(tlk.sp)
+        sims = []
+        bl = np.asarray(tlk.branch_lengths(params))
+        from ..data.sitepattern import SitePattern
+
+        for _ in range(n_sims):
+            seqs = simulate_alignment(self.next_key(), tlk.topo, tlk.subst,
+                                      tlk.site_model, params, bl,
+                                      tlk.sp.site_count)
+            sims.append(stat(SitePattern.from_alignment(seqs,
+                                                        tlk.sp.datatype)))
+        p = posterior_predictive_pvalue(obs, sims)
+        print(f"posterior predictive p-value (pattern diversity): {p:.3f}",
+              file=self.out)
+        self.results[node.get("id", "predictive")] = p
+        return p
+
+    def action_dumper(self, node):
+        """Dump current parameter values as JSON for restart (reference:
+        src/phyc/logger.c Dumper)."""
+        import json
+
+        out = {}
+        for name, val in self.pool.items():
+            arr = np.asarray(val)
+            out[name] = arr.tolist() if arr.ndim else float(arr)
+        fname = node.get("file")
+        if fname:
+            with open(self._path(fname), "w") as fh:
+                json.dump(out, fh, indent=1)
+        else:
+            print(json.dumps(out)[:1000], file=self.out)
+        return out
 
     def action_hessian(self, node):
         model = self.ctx.resolve(node.get("model"))

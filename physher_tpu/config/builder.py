@@ -511,11 +511,26 @@ def build_treelikelihood(node, ctx: Context) -> TreeLikelihood:
     return tlk
 
 
+def build_parsimony(node, ctx: Context):
+    """Parsimony model (reference: src/physher.c:190 MODEL_PARSIMONY)."""
+    from ..likelihood.parsimony import Parsimony
+
+    node = ctx.resolve(node)
+    if not isinstance(node, dict):
+        return node
+    sp = build_sitepattern(node["sitepattern"], ctx)
+    handle = build_tree(node["tree"], ctx)
+    pars = Parsimony(sp, handle.topo)
+    ctx.register(node.get("id"), pars)
+    return pars
+
+
 BUILDERS = {
     "treelikelihood": build_treelikelihood,
     "sitepattern": build_sitepattern,
     "substitutionmodel": build_substitution_model,
     "tree": build_tree,
+    "parsimony": build_parsimony,
 }
 
 
