@@ -126,6 +126,131 @@ class FullRankNormalVB(MeanFieldNormalVB):
         return jnp.sum(vparams["log_diag"]) + 0.5 * self.dim * (1.0 + LOG_2PI)
 
 
+class GammaMeanFieldVB(MeanFieldNormalVB):
+    """Fully-factorized gamma family (reference: src/phyc/gamvi.c — gamma
+    meanfield via the Generalized Reparameterization Gradient).
+
+    TPU-native design: the block lives on the *unconstrained* space as a
+    log-gamma — z = log g with g ~ Gamma(alpha, rate beta) has full support
+    on R, and for a positive parameter (z = log x) the induced distribution
+    on x is exactly the reference's Gamma(alpha, beta). Sampling uses
+    ``jax.random.gamma``, whose implicit-reparameterization gradient replaces
+    the reference's hand-derived GRG correction terms (gamvi.c:12-30).
+    """
+
+    def __init__(self, log_prob, space, params, init_shape: float = 10.0):
+        super().__init__(log_prob, space, params)
+        u0 = self.init["loc"]
+        alpha0 = jnp.full(self.dim, init_shape, dtype=u0.dtype)
+        # match the mode: log(alpha/beta) ~= u0 => beta = alpha * exp(-u0)
+        self.init = {
+            "log_alpha": jnp.log(alpha0),
+            "log_beta": jnp.log(alpha0) - u0,
+        }
+
+    def sample_unconstrained(self, vparams, key, n: int):
+        alpha = jnp.exp(vparams["log_alpha"])
+        g = jax.random.gamma(key, alpha, (n, self.dim),
+                             dtype=vparams["log_alpha"].dtype)
+        return jnp.log(g) - vparams["log_beta"]
+
+    def log_q(self, vparams, z):
+        alpha = jnp.exp(vparams["log_alpha"])
+        beta = jnp.exp(vparams["log_beta"])
+        # log-gamma density: b^a/Gamma(a) exp(a z - b e^z)
+        return jnp.sum(alpha * vparams["log_beta"]
+                       - jax.scipy.special.gammaln(alpha)
+                       + alpha * z - beta * jnp.exp(z), -1)
+
+    def entropy(self, vparams):
+        alpha = jnp.exp(vparams["log_alpha"])
+        # -E[log q(z)] in closed form: E[z] = digamma(a) - log b,
+        # E[e^z] = a/b
+        elogq = (alpha * jax.scipy.special.digamma(alpha) - alpha
+                 - jax.scipy.special.gammaln(alpha))
+        return -jnp.sum(elogq)
+
+
+class WeibullMeanFieldVB(MeanFieldNormalVB):
+    """Fully-factorized Weibull family (reference: src/phyc/weibullvi.c
+    klqp_block_meanfield_weibull_* with qweibull inverse-CDF sampling).
+
+    x ~ Weibull(shape k, scale lam) on the positive axis, expressed on the
+    unconstrained space as z = log x (full support). The inverse-CDF
+    x = lam * (-log(1-u))^(1/k) is an explicit reparameterization
+    (weibullvi.c:17-19), so gradients flow through sampling directly.
+    """
+
+    def __init__(self, log_prob, space, params, init_shape: float = 5.0):
+        super().__init__(log_prob, space, params)
+        u0 = self.init["loc"]
+        k0 = jnp.full(self.dim, init_shape, dtype=u0.dtype)
+        self.init = {"log_shape": jnp.log(k0), "log_scale": u0}
+
+    def sample_unconstrained(self, vparams, key, n: int):
+        k = jnp.exp(vparams["log_shape"])
+        u = jax.random.uniform(key, (n, self.dim),
+                               dtype=vparams["log_shape"].dtype,
+                               minval=1e-12, maxval=1.0 - 1e-12)
+        return vparams["log_scale"] + jnp.log(-jnp.log1p(-u)) / k
+
+    def log_q(self, vparams, z):
+        k = jnp.exp(vparams["log_shape"])
+        y = z - vparams["log_scale"]          # log(x/lam)
+        # Weibull logpdf in x plus Jacobian x of z = log x:
+        # log k + k*log(x/lam) - (x/lam)^k
+        return jnp.sum(vparams["log_shape"] + k * y - jnp.exp(k * y), -1)
+
+    def entropy(self, vparams):
+        k = jnp.exp(vparams["log_shape"])
+        # entropy of z = log x: Euler-gamma*(1 - 1/k)... derive from
+        # -E[log q]: E[k*y] = -euler_gamma + ... use closed form:
+        # y = log(x/lam), e^{k y} ~ Exp(1) => E[e^{ky}] = 1,
+        # E[k y] = E[log Exp(1)] = -euler_gamma
+        euler = 0.5772156649015329
+        return jnp.sum(-vparams["log_shape"] + euler + 1.0)
+
+
+def fit_klpq(vb, key, *, steps: int = 2000, learning_rate: float = 0.05,
+             n_samples: int = 32, log_every: int = 0) -> VBResult:
+    """Forward-KL variational fit: minimize KL(p || q) (reference:
+    src/phyc/klpq.c grad_klpq_normal_meanfield).
+
+    Gradient of E_p[log q] estimated by self-normalized importance sampling
+    with q as proposal: w_i = p(z_i)/q(z_i) (normalized, stop-gradiented),
+    loss = -sum_i w_i log q(z_i).
+    """
+    opt = optax.adam(learning_rate)
+    vparams = vb.init
+    state = opt.init(vparams)
+
+    def loss_fn(vp, key):
+        z = vb.sample_unconstrained(vp, key, n_samples)
+        z = jax.lax.stop_gradient(z)
+        logq = vb.log_q(vp, z)
+        logp = jax.vmap(vb._target)(z)
+        logw = jax.lax.stop_gradient(logp - logq)
+        w = jax.nn.softmax(logw)
+        return -jnp.sum(w * logq), jnp.sum(w * (logp - logq))
+
+    @jax.jit
+    def step(vparams, state, key):
+        (loss, kl), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            vparams, key)
+        updates, state = opt.update(grads, state, vparams)
+        return optax.apply_updates(vparams, updates), state, kl
+
+    history = []
+    kl = jnp.nan
+    for it in range(steps):
+        key, sub = jax.random.split(key)
+        vparams, state, kl = step(vparams, state, sub)
+        if log_every and (it + 1) % log_every == 0:
+            history.append(float(kl))
+            print(f"iter {it+1} E_w[logp-logq] {float(kl):.4f}")
+    return VBResult(vparams, float(kl), steps, history)
+
+
 def fit(vb, key, *, steps: int = 5000, learning_rate: float = 0.02,
         grad_samples: int = 1, elbo_samples: int = 100,
         elbo_every: int = 100, tol: float = 1e-4, patience: int = 10,
