@@ -105,16 +105,21 @@ def log_path_sampling_modified(loglikes_per_temp, temperatures):
 
 def run_tempered_ladder(key, space: ParamSpace, log_like, log_prior,
                         params, *, n_temps=16, n_iter=20000, every=10,
-                        burnin=2000, distribution_power=0.3, **mcmc_kw):
+                        burnin=2000, distribution_power=0.3, log_ref=None,
+                        **mcmc_kw):
     """Run the whole temperature ladder as one batched MCMC.
 
     Temperatures follow the Beta(distribution_power, 1.0) quantile spacing
     the reference/BEAST use: t_i = (i/(K-1))^(1/power), increasing.
-    Returns (temperatures, loglikes [K, S]).
+    With ``log_ref`` the ladder is the generalized-stepping-stone path
+    (like*prior)^T * ref^(1-T) (reference: mmcmc.c GSS mode) and the
+    recorded statistic is log(like*prior/ref). Returns
+    (temperatures, loglikes [K, S], mcmc result).
     """
     i = np.arange(n_temps)
     temps = (i / (n_temps - 1)) ** (1.0 / distribution_power)
-    mcmc = MCMC(space, log_like=log_like, log_prior=log_prior, **mcmc_kw)
+    mcmc = MCMC(space, log_like=log_like, log_prior=log_prior,
+                log_ref=log_ref, **mcmc_kw)
     res = mcmc.run(key, params, n_iter=n_iter, every=every,
                    temperatures=temps, burnin=burnin)
     # loglikes per temperature: [K temps] list of [S] arrays
@@ -125,10 +130,14 @@ def run_tempered_ladder(key, space: ParamSpace, log_like, log_prior,
 def marginal_likelihood(key, space, log_like, log_prior, params,
                         method="stepping", **kw):
     """End-to-end GSS/SS/PS marginal likelihood (reference: mmcmc.c +
-    marginal.c orchestration)."""
+    marginal.c orchestration). method='gss' requires ``log_ref=`` (the
+    working distribution); the estimate then includes the analytically-known
+    log-normalizer of ref implicitly (ref must be normalized)."""
+    if method == "gss" and kw.get("log_ref") is None:
+        raise ValueError("gss needs log_ref")
     temps, lls, res = run_tempered_ladder(
         key, space, log_like, log_prior, params, **kw)
-    if method in ("stepping", "ss"):
+    if method in ("stepping", "ss", "gss"):
         val, steps = log_stepping_stone(lls, temps)
     elif method in ("path", "ps"):
         val, steps = log_path_sampling(lls, temps)

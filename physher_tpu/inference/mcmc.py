@@ -65,13 +65,17 @@ class MCMC:
 
     def __init__(self, space: ParamSpace, log_prob: Callable = None, *,
                  log_like: Callable = None, log_prior: Callable = None,
-                 weights: dict | None = None):
+                 log_ref: Callable = None, weights: dict | None = None):
         self.space = space
         if log_prob is None and log_like is None:
             raise ValueError("need log_prob or log_like")
         self.log_prob = log_prob
         self.log_like = log_like
         self.log_prior = log_prior
+        # generalized stepping stone: with a reference (working) distribution
+        # the tempered target is (like*prior)^T * ref^(1-T)
+        # (reference: mmcmc.c:18-105 GSS mode)
+        self.log_ref = log_ref
         # one proposal block per free spec
         self.blocks = []
         idx = 0
@@ -100,6 +104,12 @@ class MCMC:
         if self.log_like is not None:
             ll = self.log_like(params)
             lp = self.log_prior(params) if self.log_prior else 0.0
+            if self.log_ref is not None:
+                ref = self.log_ref(params)
+                base = ll + lp
+                # recorded "log-likelihood" is the GSS ratio statistic
+                return (temperature * base + (1.0 - temperature) * ref + jac,
+                        base - ref)
             return temperature * ll + lp + jac, ll
         lp = self.log_prob(params)
         return lp + jac, lp

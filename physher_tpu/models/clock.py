@@ -73,6 +73,46 @@ class DiscreteClock(BranchModel):
         return params[self.key("rates")][self.class_map]
 
 
+class LocalClock(DiscreteClock):
+    """Local molecular clocks placed by node indicators (reference:
+    branchmodel.c CLOCK_LOCAL — indicator bits on nodes; every branch in the
+    clade below an active node inherits that node's local rate, nearest
+    active ancestor wins; branchmodel.h:64-67 SSVS indicators).
+
+    The indicator->class map is resolved host-side (it is a topology walk,
+    not a hot path); clock-placement *search* re-instantiates the map per
+    candidate, which is how the reference's GA explores placements.
+    """
+
+    def __init__(self, topo, indicators, prefix="", rates_init=None,
+                 include_root_clade: bool = True):
+        self.topo = topo
+        self.indicators = np.asarray(indicators, dtype=bool)
+        if self.indicators.shape != (topo.N,):
+            raise ValueError("one indicator per node required")
+        class_map = self.class_map_from_indicators(topo, self.indicators)
+        super().__init__(topo.N, class_map, prefix, rates_init)
+
+    @staticmethod
+    def class_map_from_indicators(topo, indicators) -> np.ndarray:
+        """class 0 = background; active node i gets class 1+rank(i); a
+        node's class is that of its nearest active ancestor-or-self."""
+        active = np.flatnonzero(indicators)
+        cls_of = {int(n): i + 1 for i, n in enumerate(active)}
+        cmap = np.zeros(topo.N, dtype=np.int32)
+        # preorder: parents before children => walk internal nodes downward
+        for k in range(topo.I - 1, -1, -1):
+            node = topo.T + k
+            if node in cls_of:
+                cmap[node] = cls_of[node]
+            for c in topo.children[k, : topo.child_count[k]]:
+                cmap[c] = cls_of.get(int(c), cmap[node])
+        root = topo.N - 1
+        if root in cls_of:
+            cmap[root] = cls_of[root]
+        return cmap
+
+
 class RelaxedClock(BranchModel):
     """Free per-branch rates; the distributional assumption (lognormal /
     exponential across branches) enters as a prior on these parameters
