@@ -77,6 +77,24 @@ class DataType:
     def n_codes(self) -> int:
         return self.partials_table.shape[0]
 
+    def code_table(self) -> np.ndarray | None:
+        """256-entry char->code table for single-char datatypes (drives the
+        native C encoder, physher_tpu/native/loader.c encode_sequence);
+        None for multi-char symbols (codons)."""
+        if self.symbol_length != 1:
+            return None
+        try:
+            unknown = self.encode("?")
+        except (KeyError, ValueError, IndexError):
+            unknown = self.n_codes - 1
+        table = np.full(256, unknown, dtype=np.uint8)
+        for b in range(33, 127):
+            try:
+                table[b] = self.encode(chr(b))
+            except (KeyError, ValueError, IndexError):
+                pass
+        return table
+
     def encode_sequence(self, seq: str) -> np.ndarray:
         L = len(seq)
         k = self.symbol_length
@@ -84,6 +102,11 @@ class DataType:
             raise ValueError(
                 f"sequence length {L} not a multiple of symbol length {k}"
             )
+        if k == 1:
+            table = self.code_table()
+            if table is not None:
+                from ..native import encode_sequence as native_encode
+                return native_encode(seq, table).astype(np.int32)
         return np.array(
             [self.encode(seq[i : i + k]) for i in range(0, L, k)], dtype=np.int32
         )

@@ -50,6 +50,15 @@ class SitePattern:
 
     @staticmethod
     def compress(enc: np.ndarray, taxa, dt: DataType) -> "SitePattern":
+        enc = np.asarray(enc)
+        if enc.size and enc.max() < 256:
+            # native C hash compressor (physher_tpu/native/loader.c,
+            # reference: sitepattern.c:87-185); bit-identical numpy fallback
+            from ..native import compress_patterns
+            codes, weights, indexes = compress_patterns(
+                enc.astype(np.uint8))
+            return SitePattern(codes.astype(np.int32), weights, indexes,
+                               taxa, dt)
         cols = np.ascontiguousarray(enc.T)  # [L, T]
         uniq, first_idx, inverse, counts = np.unique(
             cols, axis=0, return_index=True, return_inverse=True,

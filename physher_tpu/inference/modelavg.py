@@ -128,6 +128,27 @@ def read_annotated_tree_log(path_or_text: str, value_key: str = "rate"):
     return topos, values, ics
 
 
+def cli_main(argv=None):
+    """Standalone model-averaging tool (reference: src/modelAveraging.c
+    modelavg CLI, modelAveraging.c:33-50)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="physher-tpu-modelavg",
+        description="IC-weighted model averaging over an annotated tree log")
+    ap.add_argument("log", help="NEXUS tree log with IC annotations")
+    ap.add_argument("-k", "--key", default="rate",
+                    help="per-branch annotation key to average")
+    args = ap.parse_args(argv)
+    out = model_average_from_log(args.log, args.key)
+    print("split\tmean\tmin\tmax")
+    for split in sorted(out.mean, key=lambda s: (len(s), sorted(s))):
+        taxa = ",".join(sorted(split))
+        print(f"{{{taxa}}}\t{out.mean[split]:.6g}\t{out.min[split]:.6g}"
+              f"\t{out.max[split]:.6g}")
+    return 0
+
+
 def model_average_from_log(path_or_text: str, value_key: str = "rate"):
     """End-to-end: parse log -> IC-weighted branch averages
     (reference: Model_average_from_log modelavg.c:154 + modelAveraging.c)."""

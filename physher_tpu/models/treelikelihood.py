@@ -13,6 +13,7 @@ pruning reproduces with the same asymptotic cost).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..data.sitepattern import SitePattern
@@ -46,7 +47,7 @@ class TreeLikelihood:
                  include_jacobian: bool = False, tipstates: bool = False,
                  use_ambiguities: bool = True, rescale: bool | None = None,
                  pattern_pad_multiple: int = 1, prefix: str = "tree.",
-                 dtype=None):
+                 dtype=None, engine: str = "auto"):
         if site_model is None:
             site_model = ConstantSiteModel()
         self.sp = site_pattern
@@ -57,6 +58,7 @@ class TreeLikelihood:
         self.time_data = time_data
         self.include_jacobian = include_jacobian
         self.prefix = prefix
+        self.engine = engine
         self.dtype = dtype or jnp.zeros(0).dtype
         if rescale is None:
             # f32 partials underflow on realistic trees; rescaling is exact
@@ -129,16 +131,49 @@ class TreeLikelihood:
         dist = params[self.key("distances")]
         return jnp.concatenate([dist, jnp.zeros(1, dist.dtype)])
 
-    def log_likelihood_only(self, params) -> jnp.ndarray:
+    def _engine(self):
+        """Select the pruning engine: the fused Pallas TPU kernel when it
+        fits (ops/pallas_pruning.py — whole postorder in VMEM per pattern
+        tile) else the level-batched XLA path (ops/pruning.py)."""
+        if self.engine == "pallas" or (
+                self.engine == "auto" and self._pallas_fits()):
+            from ..ops.pallas_pruning import pallas_tree_log_likelihood
+
+            def run(tips, pmats, topo, freqs, props, weights, rescale):
+                return pallas_tree_log_likelihood(
+                    tips, pmats, topo, freqs, props, weights,
+                    rescale=rescale,
+                    interpret=jax.default_backend() != "tpu")
+
+            return run
+        return tree_log_likelihood
+
+    def _pallas_fits(self) -> bool:
+        from ..ops.pallas_pruning import TILE, vmem_estimate
+
+        if jax.default_backend() != "tpu":
+            return False
+        if jnp.dtype(self.dtype).itemsize != 4 or self._P % TILE:
+            return False
+        C = len(self.site_model.rates_props(
+            self.site_model.param_space().init_params())[1])
+        S = self.tip_partials.shape[1]
+        return vmem_estimate(self.topo.N, C, S, backward=True) < 10 << 20
+
+    def _run_engine(self, params):
         bl = self.branch_lengths(params)
         rates, props = self.site_model.rates_props(params)
         blc = bl[:, None] * rates[None, :]  # [N, C]
         pmats = self.subst.p_t(params, blc)  # [N, C, S, S]
         freqs = self.subst.frequencies(params)
-        logL, _ = tree_log_likelihood(
+        engine = self._engine()
+        return engine(
             self.tip_partials, pmats.astype(self.dtype), self.topo,
             freqs.astype(self.dtype), props.astype(self.dtype), self.weights,
             rescale=self.rescale)
+
+    def log_likelihood_only(self, params) -> jnp.ndarray:
+        logL, _ = self._run_engine(params)
         return logL
 
     def log_jacobian(self, params) -> jnp.ndarray:
@@ -154,13 +189,5 @@ class TreeLikelihood:
     __call__ = log_likelihood
 
     def site_log_likelihoods(self, params) -> jnp.ndarray:
-        bl = self.branch_lengths(params)
-        rates, props = self.site_model.rates_props(params)
-        blc = bl[:, None] * rates[None, :]
-        pmats = self.subst.p_t(params, blc)
-        freqs = self.subst.frequencies(params)
-        _, site_log = tree_log_likelihood(
-            self.tip_partials, pmats.astype(self.dtype), self.topo,
-            freqs.astype(self.dtype), props.astype(self.dtype), self.weights,
-            rescale=self.rescale)
+        _, site_log = self._run_engine(params)
         return site_log[: self.sp.pattern_count]
