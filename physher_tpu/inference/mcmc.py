@@ -55,6 +55,96 @@ class MCMCResult:
                 for k, v in cons.items()}
 
 
+class HMC:
+    """Hamiltonian Monte Carlo over a ParamSpace (reference: src/phyc/
+    ophmc.c — leapfrog with the model's dlogP; here the gradient is
+    jax.grad of the unconstrained log-posterior and chains vectorize
+    with vmap, the TPU-native replacement for the reference's
+    single-operator HMC).
+    """
+
+    def __init__(self, space: ParamSpace, log_prob: Callable, *,
+                 n_leapfrog: int = 10):
+        self.space = space
+        self.log_prob = log_prob
+        self.L = n_leapfrog
+        self._dim = space.unconstrained_size
+
+    def _target(self, z):
+        uparams = self.space.unflatten_unconstrained(z)
+        return (self.log_prob(self.space.constrain(uparams))
+                + self.space.log_jacobian(uparams))
+
+    def run(self, key, params: dict, *, n_iter: int = 1000, every: int = 1,
+            n_chains: int = 4, step_size: float = 0.05, burnin: int = 100,
+            adapt: bool = True, target_accept: float = 0.8) -> MCMCResult:
+        space = self.space
+        dim = self._dim
+        u0 = space.flatten_unconstrained(space.unconstrain(params))
+        key, sub = jax.random.split(key)
+        us = u0 + 0.01 * jax.random.normal(sub, (n_chains, dim),
+                                           dtype=u0.dtype)
+        val_grad = jax.value_and_grad(self._target)
+
+        def kernel(state, key, eps):
+            u, logp, glogp = state
+            k1, k2 = jax.random.split(key)
+            p0 = jax.random.normal(k1, u.shape, dtype=u.dtype)
+
+            def leap(carry, _):
+                q, p, g = carry
+                p = p + 0.5 * eps * g
+                q = q + eps * p
+                _, g = val_grad(q)
+                p = p + 0.5 * eps * g
+                return (q, p, g), None
+
+            (q, p, g), _ = jax.lax.scan(
+                leap, (u, p0, glogp), None, length=self.L)
+            new_logp, new_g = val_grad(q)
+            log_alpha = (new_logp - logp
+                         - 0.5 * jnp.sum(p * p) + 0.5 * jnp.sum(p0 * p0))
+            ok = (jnp.log(jax.random.uniform(k2, dtype=u.dtype)) < log_alpha)
+            ok = ok & jnp.isfinite(new_logp)
+            return (jnp.where(ok, q, u), jnp.where(ok, new_logp, logp),
+                    jnp.where(ok, new_g, glogp)), ok
+
+        @jax.jit
+        def run_chunk(states, keys, eps):
+            def one_chain(state, keys):
+                def body(st, k):
+                    st, ok = kernel(st, k, eps)
+                    return st, ok
+                st, oks = jax.lax.scan(body, state, keys)
+                return st, jnp.mean(oks.astype(jnp.float32))
+            return jax.vmap(one_chain)(states, keys)
+
+        lp0, g0 = jax.vmap(val_grad)(us)
+        states = (us, lp0, g0)
+        n_samples = n_iter // every
+        burn_chunks = burnin // every
+        samples = np.empty((n_samples, n_chains, dim))
+        lps = np.empty((n_samples, n_chains))
+        eps = step_size
+        si = 0
+        acc_hist = []
+        for ci in range(n_samples + burn_chunks):
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, n_chains * every).reshape(
+                n_chains, every, 2)
+            states, acc = run_chunk(states, keys, eps)
+            rate = float(jnp.mean(acc))
+            acc_hist.append(rate)
+            if adapt and ci < burn_chunks:
+                eps *= float(np.exp(0.5 * (rate - target_accept)))
+            if ci >= burn_chunks:
+                samples[si] = np.asarray(states[0])
+                lps[si] = np.asarray(states[1])
+                si += 1
+        return MCMCResult(samples, lps, lps.copy(),
+                          np.asarray(acc_hist), np.asarray([eps]), space)
+
+
 class MCMC:
     """Metropolis within jit over a ParamSpace.
 

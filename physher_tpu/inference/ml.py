@@ -86,6 +86,43 @@ def optimize_adam(log_prob, space: ParamSpace, params: dict, *,
     return OptResult(final, -best, it + 1, since < patience, history)
 
 
+def optimize_adam_adapt(log_prob, space: ParamSpace, params: dict, *,
+                        etas=(1.0, 0.1, 0.01, 0.001), trial_iter: int = 100,
+                        **kw) -> OptResult:
+    """Learning-rate search, then a full Adam run at the winner (reference:
+    src/phyc/gradascent.c:141-203 optimize_stochastic_gradient_adapt, which
+    trials the etas on a pthread pool — here the trials run as ONE vmapped
+    optimization over the eta batch).
+    """
+    uparams = space.unconstrain(params)
+    loss = _make_loss(log_prob, space)
+    etas_arr = jnp.asarray(list(etas))
+    flat0 = space.flatten_unconstrained(uparams)
+
+    def trial(eta):
+        opt = optax.adam(1.0)  # rescale per-eta below
+
+        def step(carry, _):
+            flat, state = carry
+            up = space.unflatten_unconstrained(flat)
+            val, grads = jax.value_and_grad(loss)(up)
+            gflat = space.flatten_unconstrained(grads)
+            updates, state = opt.update(gflat, state, flat)
+            return (flat + eta * updates, state), val
+
+        (flat, _), vals = jax.lax.scan(
+            step, (flat0, optax.adam(1.0).init(flat0)), None,
+            length=trial_iter)
+        up = space.unflatten_unconstrained(flat)
+        return loss(up)
+
+    finals = jax.jit(jax.vmap(trial))(etas_arr)
+    finals = jnp.where(jnp.isfinite(finals), finals, jnp.inf)
+    best_eta = float(etas_arr[int(jnp.argmin(finals))])
+    return optimize_adam(log_prob, space, params, learning_rate=best_eta,
+                         **kw)
+
+
 def optimize_lbfgs(log_prob, space: ParamSpace, params: dict, *,
                    max_iter: int = 500, tol: float = 1e-8,
                    history_size: int = 20) -> OptResult:
