@@ -114,6 +114,11 @@ class Runner:
             kw = {}
             if node.get("checkpoint"):
                 kw["checkpoint"] = node["checkpoint"]
+            if method == "meta":
+                # CLI meta runs get the vmapped multi-start warmup
+                # (robust to bad scalar inits like gamma shape 0.1,
+                # e.g. examples/fluA/GTR-G4-ML.json)
+                kw["n_starts"] = int(node.get("starts", 6))
             res = ml.optimize(log_prob, space, params, method=method,
                               tol=tol, **kw)
             params = dict(res.params)

@@ -157,11 +157,149 @@ def optimize_lbfgs(log_prob, space: ParamSpace, params: dict, *,
     return OptResult(space.constrain(uparams), -final_val, it + 1, converged)
 
 
+def brent_minimize(f, lo: float, hi: float, *, tol: float = 1e-8,
+                   max_iter: int = 100):
+    """Bounded scalar minimization: golden-section start + parabolic steps
+    (reference: src/phyc/brent.c — the workhorse the meta-optimizer uses
+    for per-parameter line searches)."""
+    gr = 0.3819660112501051  # 2 - golden ratio
+    a, b = float(lo), float(hi)
+    x = w = v = a + gr * (b - a)
+    fx = fw = fv = f(x)
+    d = e = 0.0
+    for _ in range(max_iter):
+        m = 0.5 * (a + b)
+        tol1 = tol * abs(x) + 1e-12
+        if abs(x - m) <= 2 * tol1 - 0.5 * (b - a):
+            break
+        use_gold = True
+        if abs(e) > tol1:
+            # parabolic fit through x, w, v
+            r = (x - w) * (fx - fv)
+            q = (x - v) * (fx - fw)
+            p = (x - v) * q - (x - w) * r
+            q = 2.0 * (q - r)
+            if q > 0:
+                p = -p
+            q = abs(q)
+            if (abs(p) < abs(0.5 * q * e) and p > q * (a - x)
+                    and p < q * (b - x)):
+                e, d = d, p / q
+                u = x + d
+                if (u - a) < 2 * tol1 or (b - u) < 2 * tol1:
+                    d = tol1 if x < m else -tol1
+                use_gold = False
+        if use_gold:
+            e = (b if x < m else a) - x
+            d = gr * e
+        u = x + (d if abs(d) >= tol1 else (tol1 if d > 0 else -tol1))
+        fu = f(u)
+        if fu <= fx:
+            if u >= x:
+                a = x
+            else:
+                b = x
+            v, w, x = w, x, u
+            fv, fw, fx = fw, fx, fu
+        else:
+            if u < x:
+                a = u
+            else:
+                b = u
+            if fu <= fw or w == x:
+                v, w = w, u
+                fv, fw = fw, fu
+            elif fu <= fv or v == x or v == w:
+                v, fv = u, fu
+    return x, fx
+
+
+def _brent_scalar_pass(log_prob, space: ParamSpace, params: dict,
+                       tol: float) -> dict:
+    """One round of bounded Brent over each *scalar* parameter with the
+    rest fixed (reference: serial-Brent sub-optimizers inside meta,
+    optimizer.c:100-152). Escapes coordinate-wise local basins that joint
+    gradient descent falls into (e.g. extreme gamma-shape starts)."""
+    import jax.numpy as jnp
+
+    params = dict(params)
+    fn = jax.jit(log_prob)
+    for spec in space.free_specs():
+        if spec.unconstrained_size != 1 or np.size(params[spec.name]) != 1:
+            continue
+        name = spec.name
+        cur = float(np.asarray(params[name]))
+        uspec = ParamSpace([spec])
+
+        def f(u):
+            p = uspec.constrain({name: jnp.asarray(u)})
+            return -float(fn({**params, name: jnp.asarray(
+                p[name], dtype=jnp.asarray(params[name]).dtype)}))
+
+        u0 = float(np.asarray(uspec.unconstrain(
+            {name: jnp.asarray(cur)})[name]))
+        span = max(3.0, abs(u0))
+        ub, fb = brent_minimize(f, u0 - span, u0 + span, tol=tol)
+        if fb < -float(fn(params)) - tol:
+            newv = uspec.constrain({name: jnp.asarray(ub)})[name]
+            params[name] = jnp.asarray(
+                newv, dtype=jnp.asarray(params[name]).dtype)
+    return params
+
+
+def _multistart_warmup(log_prob, space: ParamSpace, params: dict, *,
+                       n_starts: int = 6, iters: int = 300,
+                       learning_rate: float = 0.05, jitter: float = 1.5,
+                       seed: int = 0) -> dict:
+    """Batched Adam from jittered starts; returns the best start's params.
+
+    The reference's meta-optimizer escapes coordinate-local basins with
+    serial bounded Brent per scalar (optimizer.c:100-152); the TPU-native
+    equivalent is a *vmapped* short optimization over perturbed starts —
+    one compile, the batch axis rides the accelerator. Scalar parameters
+    (gamma shape, kappa, pinv...) get unconstrained-space jitter; vectors
+    keep their initial values.
+    """
+    loss = _make_loss(log_prob, space)
+    u0 = space.flatten_unconstrained(space.unconstrain(params))
+    mask = np.zeros(space.unconstrained_size)
+    off = 0
+    for s in space.free_specs():
+        if s.unconstrained_size == 1:
+            mask[off] = 1.0
+        off += s.unconstrained_size
+    key = jax.random.PRNGKey(seed)
+    eps = jax.random.normal(key, (n_starts, u0.size), dtype=u0.dtype)
+    starts = u0[None, :] + jitter * jnp.asarray(mask) * eps
+    starts = starts.at[0].set(u0)
+
+    def flat_loss(u):
+        return loss(space.unflatten_unconstrained(u))
+
+    opt = optax.adam(learning_rate)
+
+    def run_one(u):
+        def step(carry, _):
+            u, state = carry
+            _, g = jax.value_and_grad(flat_loss)(u)
+            updates, state = opt.update(g, state, u)
+            return (optax.apply_updates(u, updates), state), None
+
+        (u, _), _ = jax.lax.scan(step, (u, opt.init(u)), None, length=iters)
+        return u, flat_loss(u)
+
+    finals, losses = jax.jit(jax.vmap(run_one))(starts)
+    losses = jnp.where(jnp.isfinite(losses), losses, jnp.inf)
+    best = finals[int(jnp.argmin(losses))]
+    return space.constrain(space.unflatten_unconstrained(best))
+
+
 def optimize(log_prob, space: ParamSpace, params: dict, *,
-             method: str = "meta", **kw) -> OptResult:
-    """Meta strategy: Adam warmup then L-BFGS polish until no round improves
-    by more than ``tol`` (the reference's meta-optimizer loop contract,
-    optimizer.c:154-210)."""
+             method: str = "meta", n_starts: int = 1, **kw) -> OptResult:
+    """Meta strategy: (optional vmapped multi-start warmup), Adam, L-BFGS
+    polish, then bounded-Brent scalar line searches, looping until no round
+    improves by more than ``tol`` (the reference's meta-optimizer loop
+    contract, optimizer.c:154-210 with serial-Brent sub-optimizers)."""
     if method == "adam":
         return optimize_adam(log_prob, space, params, **kw)
     if method == "lbfgs":
@@ -169,16 +307,31 @@ def optimize(log_prob, space: ParamSpace, params: dict, *,
     if method != "meta":
         raise ValueError(f"unknown method {method!r}")
     tol = kw.pop("tol", 1e-6)
+    if n_starts > 1:
+        params = _multistart_warmup(log_prob, space, params,
+                                    n_starts=n_starts)
     res = optimize_adam(log_prob, space, params, tol=tol,
                         max_iter=kw.pop("adam_iter", 2000), **kw)
     total_it = res.iterations
-    for _ in range(10):
+    for _round in range(10):
         res2 = optimize_lbfgs(log_prob, space, res.params, tol=tol)
         total_it += res2.iterations
-        if res2.logp <= res.logp + tol:
-            res = res2 if res2.logp > res.logp else res
+        if res2.logp > res.logp:
+            res = res2
+        # scalar Brent escape pass (reference: meta rounds re-run serial
+        # Brent until the gain drops below tolfx)
+        brent_params = _brent_scalar_pass(log_prob, space, res.params, tol)
+        blogp = float(log_prob(brent_params))
+        improved = blogp > res.logp + max(tol, 1e-4)
+        if improved:
+            res = OptResult(brent_params, blogp, total_it, False)
+            res3 = optimize_adam(log_prob, space, res.params, tol=tol,
+                                 max_iter=1000)
+            total_it += res3.iterations
+            if res3.logp > res.logp:
+                res = res3
+        elif res2.logp <= res.logp + tol:
             break
-        res = res2
     return OptResult(res.params, res.logp, total_it, True)
 
 

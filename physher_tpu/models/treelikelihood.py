@@ -149,8 +149,15 @@ class TreeLikelihood:
         return tree_log_likelihood
 
     def _pallas_fits(self) -> bool:
+        import os
+
         from ..ops.pallas_pruning import TILE, vmem_estimate
 
+        # conservative default: the fused kernel is opt-in
+        # (PHYSHER_TPU_ENGINE=pallas or engine="pallas") until its Mosaic
+        # compile time is validated on the target TPU generation
+        if os.environ.get("PHYSHER_TPU_ENGINE") != "pallas":
+            return False
         if jax.default_backend() != "tpu":
             return False
         if jnp.dtype(self.dtype).itemsize != 4 or self._P % TILE:

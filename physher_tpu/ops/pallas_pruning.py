@@ -103,8 +103,9 @@ def _forward_kernel(topo, C, S, rescale, tips_ref, pmats_ref, freqs_ref,
     root = topo.N - 1
     site = None
     for c in range(C):
-        per_cat = jnp.dot(freqs_ref[0], partials_ref[root, c],
-                          preferred_element_type=f32)       # [TILE]
+        # [1, S] @ [S, TILE] (Mosaic needs >=2D operands)
+        per_cat = jnp.dot(freqs_ref[:], partials_ref[root, c],
+                          preferred_element_type=f32)[0]    # [TILE]
         term = props_ref[0, c] * per_cat
         site = term if site is None else site + term
     site = jnp.maximum(site, jnp.finfo(f32).tiny)
