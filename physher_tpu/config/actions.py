@@ -209,6 +209,30 @@ class Runner:
             xs = log_node.get("x", [])
             if isinstance(xs, str):
                 xs = [xs]
+            # sitewise log-likelihood logger (reference: logmcmc.c Log with
+            # per-site output consumed by cpo.c/predictive.c)
+            if log_node.get("sitewise") and fname:
+                tlk = None
+                for m in models:
+                    obj = self.ctx.resolve(m) if isinstance(m, str) else m
+                    if hasattr(obj, "site_log_likelihoods"):
+                        tlk = obj
+                if tlk is not None:
+                    zsel = jnp.asarray(res.samples_u[idx, 0])
+                    batch = jax.jit(jax.vmap(
+                        lambda z: tlk.site_log_likelihoods(space.constrain(
+                            space.unflatten_unconstrained(z)))))
+                    site = np.asarray(batch(zsel))
+                    w = np.asarray(tlk.sp.weights)
+                    lines = ["#" + "\t".join(f"{x:g}" for x in w),
+                             "\t".join(["state"] + [
+                                 f"site{i}" for i in range(site.shape[1])])]
+                    for s, row in zip(states, site):
+                        lines.append("\t".join(
+                            [str(int(s))] + [f"{v:.10g}" for v in row]))
+                    with open(self._path(fname), "w") as fh:
+                        fh.write("\n".join(lines) + "\n")
+                    continue
             # tree logger?
             tree_handle = None
             for m in models:
@@ -551,6 +575,16 @@ class Runner:
         (reference: src/phyc/cpo.c reads sitewise logs)."""
         from ..inference.modelselection import cpo as cpo_fn
 
+        if node.get("filename"):
+            # reference file format: '#'-prefixed weight line, header,
+            # then state\tsite... rows (cpo.c:16-75)
+            burnin = int(node.get("burnin", 0))
+            weights, site_lls = _read_sitewise_log(
+                self._path(node["filename"]), burnin)
+            log_cpo, lpml = cpo_fn(site_lls, weights)
+            print(f"LPML: {lpml:.6f}", file=self.out)
+            self.results[node.get("id", "cpo")] = (log_cpo, lpml)
+            return log_cpo, lpml
         ref = str(node.get("mcmc", "mcmc")).lstrip("&")
         res = self.results.get(ref)
         tlk, _ = self._tlk_and_params(node, key="treelikelihood")
@@ -652,3 +686,18 @@ class Runner:
         print("Hessian (unconstrained space):", file=self.out)
         print(np.array2string(H, precision=6), file=self.out)
         return H
+
+
+def _read_sitewise_log(path: str, burnin: int = 0):
+    """Parse the reference's sitewise log format: first line '#'-prefixed
+    tab-separated site weights, then a header, then state\\tvalue rows
+    (reference: cpo.c:26-52, predictive.c:25-55)."""
+    with open(path) as fh:
+        lines = [ln.rstrip("\n") for ln in fh if ln.strip()]
+    weights = np.asarray([float(x) for x in lines[0][1:].split("\t")])
+    rows = []
+    for ln in lines[2:]:
+        parts = ln.split("\t")
+        rows.append([float(x) for x in parts[1:]])
+    site_lls = np.asarray(rows[burnin:])
+    return weights, site_lls

@@ -111,6 +111,58 @@ def split_r_hat(chains) -> float:
     return float(np.sqrt(var_plus / W))
 
 
+def jenks_breaks(data, n_classes: int) -> np.ndarray:
+    """Jenks natural-breaks classification: assign each value to one of
+    ``n_classes`` minimizing within-class variance (reference:
+    src/phyc/classification.c classification_Jenks_breaks — used to bin
+    branch rates into discrete classes). Returns int class ids aligned
+    with ``data``. Dynamic-programming (Fisher) exact algorithm.
+    """
+    x = np.sort(np.asarray(data, dtype=np.float64))
+    n = len(x)
+    k = min(n_classes, n)
+    # dp[m][j]: minimal SSE for first m points in j classes
+    csum = np.concatenate([[0.0], np.cumsum(x)])
+    csum2 = np.concatenate([[0.0], np.cumsum(x * x)])
+
+    def sse(i, j):
+        # points i..j-1 (0-based, half-open)
+        s = csum[j] - csum[i]
+        s2 = csum2[j] - csum2[i]
+        cnt = j - i
+        return s2 - s * s / cnt
+
+    INF = np.inf
+    dp = np.full((k + 1, n + 1), INF)
+    back = np.zeros((k + 1, n + 1), dtype=np.int64)
+    dp[0, 0] = 0.0
+    for j in range(1, k + 1):
+        for m in range(j, n + 1):
+            best, bi = INF, j - 1
+            for i in range(j - 1, m):
+                v = dp[j - 1, i] + sse(i, m)
+                if v < best:
+                    best, bi = v, i
+            dp[j, m] = best
+            back[j, m] = bi
+    # recover break positions in sorted order
+    bounds = []
+    m = n
+    for j in range(k, 0, -1):
+        bounds.append(m)
+        m = back[j, m]
+    bounds = bounds[::-1]
+    cls_sorted = np.zeros(n, dtype=np.int64)
+    start = 0
+    for ci, end in enumerate(bounds):
+        cls_sorted[start:end] = ci
+        start = end
+    order = np.argsort(np.asarray(data, dtype=np.float64), kind="stable")
+    out = np.empty(n, dtype=np.int64)
+    out[order] = cls_sorted
+    return out
+
+
 def summarize(samples: dict, weights=None) -> dict:
     """Per-parameter {mean, sd, median, 2.5%, 97.5%, ess} table from a dict
     of [S, ...] arrays (e.g. MCMCResult.to_dict_of_arrays())."""

@@ -1,0 +1,180 @@
+"""End-to-end CLI integration: legacy argv front-end, JSON configs, loggers.
+
+Reference parity: src/physher.c main flow, src/phyc/physhercmd.c argv
+builder, logger/checkpoint outputs.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+ENV = {**os.environ, "PHYSHER_TPU_PLATFORM": "cpu",
+       "JAX_PLATFORMS": "cpu"}
+
+
+def run_cli(args, cwd=None):
+    return subprocess.run([sys.executable, "-m", "physher_tpu.cli", *args],
+                          capture_output=True, text=True, env=ENV, cwd=cwd,
+                          timeout=500)
+
+
+class TestLegacyCli:
+    def test_dry_prints_valid_config(self):
+        out = subprocess.run(
+            [sys.executable, "-m", "physher_tpu.legacy_cli",
+             "-i", os.path.join(DATA, "tiny.fa"), "-m", "GTR", "-c", "4",
+             "-D", "nj", "--dry"],
+            capture_output=True, text=True, env=ENV, timeout=120)
+        assert out.returncode == 0, out.stderr
+        cfg = json.loads(out.stdout)
+        assert cfg["model"]["type"] == "treelikelihood"
+        assert cfg["physher"][0]["algorithm"] == "meta"
+        # the generated config builds
+        from physher_tpu.config.builder import build_config
+
+        ctx, actions = build_config(cfg, base_dir=DATA)
+        assert actions
+
+
+class TestJsonCli:
+    def test_dry_flag(self, tmp_path):
+        cfg = {"model": {"id": "x", "type": "parsimony",
+                         "sitepattern": {"id": "p", "type": "sitepattern",
+                                         "datatype": "nucleotide",
+                                         "alignment": {"id": "a",
+                                                       "type": "alignment",
+                                                       "file": "tiny.fa"}},
+                         "tree": {"id": "t", "type": "tree",
+                                  "init": {"algorithm": "nj",
+                                           "sitepattern": "&p"}}},
+               "_comment": "pruned", "physher": []}
+        f = tmp_path / "c.json"
+        f.write_text(json.dumps(cfg))
+        out = run_cli([str(f), "--dry"])
+        assert out.returncode == 0, out.stderr
+        resolved = json.loads(out.stdout)
+        assert "_comment" not in resolved
+
+    def test_optimizer_logger_checkpoint(self, tmp_path):
+        # small adam run over tiny.fa writing a checkpoint + logger output
+        ckpt = tmp_path / "ck.csv"
+        cfg = {
+            "model": {
+                "id": "treelikelihood", "type": "treelikelihood",
+                "sitepattern": {
+                    "id": "patterns", "type": "sitepattern",
+                    "datatype": "nucleotide",
+                    "alignment": {"id": "seqs", "type": "alignment",
+                                  "file": os.path.join(DATA, "tiny.fa")}},
+                "sitemodel": {
+                    "id": "sitemodel", "type": "sitemodel",
+                    "substitutionmodel": {
+                        "id": "sm", "type": "substitutionmodel",
+                        "model": "jc69", "datatype": "nucleotide"}},
+                "tree": {"id": "tree", "type": "tree",
+                         "parameters": "tree.distances",
+                         "init": {"algorithm": "nj",
+                                  "sitepattern": "&patterns"}},
+            },
+            "physher": [
+                {"id": "opt", "type": "optimizer", "algorithm": "sg",
+                 "max": 60, "model": "&treelikelihood",
+                 "checkpoint": str(ckpt)},
+                {"id": "log", "type": "logger",
+                 "models": "&treelikelihood"},
+            ],
+        }
+        f = tmp_path / "c.json"
+        f.write_text(json.dumps(cfg))
+        out = run_cli([str(f)], cwd=str(tmp_path))
+        assert out.returncode == 0, out.stderr
+        assert "Maximum log likelihood" in out.stdout
+        assert ckpt.exists()
+        # reference checkpoint format: name,value lines (checkpoint.c)
+        lines = ckpt.read_text().strip().splitlines()
+        assert all("," in ln for ln in lines)
+        # restore path: -c flag
+        out2 = run_cli([str(f), "-c", str(ckpt)], cwd=str(tmp_path))
+        assert out2.returncode == 0, out2.stderr
+
+
+class TestConfiggenRoundTrip:
+    def test_mcmc_config_runs(self, tmp_path):
+        from physher_tpu.io.seqio import read_alignment
+        from physher_tpu.data.sitepattern import SitePattern
+        from physher_tpu.data.distance import distance_matrix
+        from physher_tpu.trees.build import nj
+        from physher_tpu.io.treeio import write_newick
+
+        aln = read_alignment(os.path.join(DATA, "tiny.fa"))
+        sp = SitePattern.from_alignment(aln)
+        topo, d = nj(sp.taxa, distance_matrix(sp, "jc69"))
+        tree = tmp_path / "t.nwk"
+        tree.write_text(write_newick(topo, d))
+        gen = subprocess.run(
+            [sys.executable, "-m", "physher_tpu.configgen", "mcmc",
+             "-i", os.path.join(DATA, "tiny.fa"), "-t", str(tree),
+             "--length", "600", "--every", "100", "-o",
+             str(tmp_path / "run")],
+            capture_output=True, text=True, env=ENV, timeout=120)
+        assert gen.returncode == 0, gen.stderr
+        cfgf = tmp_path / "m.json"
+        cfgf.write_text(gen.stdout)
+        out = run_cli([str(cfgf)], cwd=str(tmp_path))
+        assert out.returncode == 0, out.stderr
+        assert "MCMC finished" in out.stdout
+        # loggers wrote reference-format outputs
+        log = tmp_path / "run.log"
+        trees = tmp_path / "run.trees"
+        assert log.exists() and trees.exists()
+        header = log.read_text().splitlines()[0]
+        assert "\t" in header or "," in header
+        assert "tree" in trees.read_text().lower()
+
+
+class TestSitewiseCpo:
+    def test_sitewise_log_and_file_cpo(self, tmp_path):
+        sw = tmp_path / "sitewise.log"
+        cfg = {
+            "model": {
+                "id": "treelikelihood", "type": "treelikelihood",
+                "sitepattern": {
+                    "id": "patterns", "type": "sitepattern",
+                    "datatype": "nucleotide",
+                    "alignment": {"id": "seqs", "type": "alignment",
+                                  "file": os.path.join(DATA, "tiny.fa")}},
+                "sitemodel": {
+                    "id": "sitemodel", "type": "sitemodel",
+                    "substitutionmodel": {
+                        "id": "sm", "type": "substitutionmodel",
+                        "model": "jc69", "datatype": "nucleotide"}},
+                "tree": {"id": "tree", "type": "tree",
+                         "parameters": "tree.distances",
+                         "init": {"algorithm": "nj",
+                                  "sitepattern": "&patterns"}},
+            },
+            "physher": [
+                {"id": "mcmc", "type": "mcmc", "model": "&treelikelihood",
+                 "length": 500,
+                 "log": [{"id": "sw", "type": "logger", "every": 100,
+                          "sitewise": True, "file": str(sw),
+                          "models": "&treelikelihood"}],
+                 "operators": [{"id": "op", "type": "operator",
+                                "algorithm": "scaler",
+                                "x": "%tree.distances", "weight": 1}]},
+                {"id": "cpo", "type": "cpo", "filename": str(sw)},
+            ],
+        }
+        f = tmp_path / "c.json"
+        f.write_text(json.dumps(cfg))
+        out = run_cli([str(f)], cwd=str(tmp_path))
+        assert out.returncode == 0, out.stderr
+        assert sw.exists()
+        first = sw.read_text().splitlines()[0]
+        assert first.startswith("#")     # reference weight-line format
+        assert "LPML" in out.stdout

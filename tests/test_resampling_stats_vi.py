@@ -212,3 +212,20 @@ class TestVIFamilies:
             z = vb.sample_unconstrained(vp, jax.random.PRNGKey(0), 200000)
             mc = -float(jnp.mean(vb.log_q(vp, z)))
             assert abs(mc - float(vb.entropy(vp))) < 0.02, cls.__name__
+
+
+class TestJenks:
+    def test_two_clear_clusters(self):
+        data = [1.0, 1.1, 0.9, 10.0, 10.2, 9.8]
+        cls = stats.jenks_breaks(data, 2)
+        assert len(set(cls[:3])) == 1 and len(set(cls[3:])) == 1
+        assert cls[0] != cls[3]
+
+    def test_class_count(self):
+        rng = np.random.default_rng(0)
+        data = np.concatenate([rng.normal(m, 0.1, 20) for m in (0, 5, 10)])
+        cls = stats.jenks_breaks(data, 3)
+        assert set(cls) == {0, 1, 2}
+        # each true cluster maps to a single class
+        for s in range(3):
+            assert len(set(cls[s * 20:(s + 1) * 20])) == 1
