@@ -134,3 +134,51 @@ class TestPallasParity:
                 np.asarray(gp[k]), np.asarray(gx[k]), rtol=5e-3,
                 atol=1e-3 * (float(jnp.max(jnp.abs(gx[k]))) + 1e-9),
                 err_msg=k)
+
+
+class TestLoopKernel:
+    """Loop-based (scalar-prefetch) kernel: ops/pallas_pruning_loop.py."""
+
+    def test_parity_binary_tree(self):
+        from physher_tpu.ops.pallas_pruning_loop import (
+            loop_tree_log_likelihood)
+        topo, tips, pm, freqs, props, w = _setup(16, 200)
+        ll_x, sl_x = tree_log_likelihood(tips, pm, topo, freqs, props, w,
+                                         rescale=True)
+        ll_p, sl_p = loop_tree_log_likelihood(
+            tips, pm, topo, freqs, props, w, rescale=True, interpret=True)
+        np.testing.assert_allclose(float(ll_p), float(ll_x), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(sl_p)[np.asarray(w) > 0],
+            np.asarray(sl_x)[np.asarray(w) > 0], rtol=2e-4)
+
+    def test_parity_multifurcating_and_blocks(self):
+        from collections import OrderedDict
+
+        from physher_tpu.data.sitepattern import SitePattern
+        from physher_tpu.io.treeio import read_newick
+        from physher_tpu.ops.pallas_pruning_loop import (
+            loop_tree_log_likelihood)
+        seqs = OrderedDict([("a", "ACGTACGTAC"), ("b", "ACGTACCTAA"),
+                            ("c", "AGGTACGTAT"), ("d", "ACGAACGTAA"),
+                            ("e", "CCGTACGTAA")])
+        topo, _ = read_newick(
+            "((a:0.1,b:0.2):0.05,(c:0.3,d:0.1):0.02,e:0.15);")
+        sp = SitePattern.from_alignment(seqs)
+        P = pad_patterns(sp.pattern_count, TILE)
+        tips = sp.tip_partials(pad_to=P, dtype=np.float32)
+        tips = jnp.asarray(tips[[sp.taxa.index(t) for t in topo.taxa]])
+        rng = np.random.default_rng(1)
+        C, S = 2, 4
+        Q = rng.random((topo.N, C, S, S)).astype(np.float32) + 0.1
+        pm = jnp.asarray(Q / Q.sum(-1, keepdims=True))
+        freqs = jnp.asarray(np.full(S, 0.25, np.float32))
+        props = jnp.asarray(np.full(C, 0.5, np.float32))
+        w = jnp.asarray(np.asarray(sp.padded_weights(P), np.float32))
+        ll_x, _ = tree_log_likelihood(tips, pm, topo, freqs, props, w,
+                                      rescale=True)
+        for block in (1, 3):
+            ll_p, _ = loop_tree_log_likelihood(
+                tips, pm, topo, freqs, props, w, rescale=True,
+                interpret=True, block=block)
+            np.testing.assert_allclose(float(ll_p), float(ll_x), rtol=1e-5)
