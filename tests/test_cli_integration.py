@@ -13,8 +13,10 @@ import numpy as np
 import pytest
 
 DATA = os.path.join(os.path.dirname(__file__), "data")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = {**os.environ, "PHYSHER_TPU_PLATFORM": "cpu",
-       "JAX_PLATFORMS": "cpu"}
+       "JAX_PLATFORMS": "cpu",
+       "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", "")}
 
 
 def run_cli(args, cwd=None):
