@@ -179,6 +179,15 @@ class Runner:
         logs = node.get("log", [])
         every = min([int(l.get("every", 1000)) for l in logs] or [1000])
 
+        # topology operators route to the tree MCMC (reference:
+        # operator.c:584 "nni" operator inside the MCMC loop)
+        algs = {str(op.get("algorithm", "")).lower()
+                for op in node.get("operators", [])}
+        from ..models.treelikelihood import TreeLikelihood as _TLK
+
+        if "nni" in algs and isinstance(model, _TLK):
+            return self._run_tree_mcmc(node, model, length, every)
+
         sampler = mcmc_mod.MCMC(space, log_prob,
                                 weights=weights or None)
         res = sampler.run(self.next_key(), params, n_iter=length,
@@ -190,6 +199,42 @@ class Runner:
         self.update_pool(last)
         acc = ", ".join(f"{b}:{a:.2f}" for b, a in
                         zip(sampler.blocks, res.acceptance))
+        print(f"MCMC finished: {length} iterations; acceptance {acc}",
+              file=self.out)
+        return res
+
+    def _run_tree_mcmc(self, node, tlk, length, every):
+        """MCMC with NNI topology moves (reference: operator.c nni operator;
+        the chain samples topology + branch lengths + model parameters)."""
+        from ..inference.treemcmc import TreeMCMC
+
+        sampler = TreeMCMC(tlk)
+        params = self.params_for(sampler.space)
+        res = sampler.run(self.next_key(), params, n_iter=length,
+                          every=every)
+        self.results[node.get("id", "mcmc")] = res
+        states = (np.arange(len(res.trees)) + 1) * every
+        for log_node in node.get("log", []):
+            fname = log_node.get("file")
+            if not fname:
+                continue
+            models = log_node.get("models", [])
+            if isinstance(models, str):
+                models = [models]
+            is_treelog = (str(fname).endswith((".trees", ".nex", ".nxs"))
+                          or any("tree" in str(m).lower() for m in models))
+            if is_treelog:
+                with open(self._path(fname), "w") as fh:
+                    for s, t in zip(states, res.trees):
+                        fh.write(t if t.endswith(";") else t + ";")
+                        fh.write("\n")
+            else:
+                with open(self._path(fname), "w") as fh:
+                    fh.write("state\tposterior\n")
+                    for s, lp in zip(states, res.log_posterior):
+                        fh.write(f"{int(s)}\t{lp:.10g}\n")
+        self.update_pool(res.params_at(-1) if len(res.trees) else {})
+        acc = ", ".join(f"{k}:{v:.2f}" for k, v in res.acceptance.items())
         print(f"MCMC finished: {length} iterations; acceptance {acc}",
               file=self.out)
         return res

@@ -302,3 +302,119 @@ class MCMC:
             np.where(cum_tries > 0, cum_acc / np.maximum(cum_tries, 1),
                      np.nan),
             np.asarray(sigmas_np), space)
+
+class MixedMCMC:
+    """MH over a continuous ParamSpace PLUS a binary indicator vector.
+
+    Rebuild of the reference's bitflip operator on DiscreteParameters
+    (reference: src/phyc/operator.c bitflip entry; used for SSVS clock-model
+    averaging via branch-model indicators, branchmodel.h:64-67, and Bayesian
+    skyline group assignments). The indicator vector rides inside the jitted
+    ``lax.scan`` kernel as an int32 vector; a bitflip proposal flips one
+    uniformly chosen bit (symmetric, log q ratio = 0).
+
+    ``log_prob(params, bits)`` is the unnormalized target over constrained
+    parameters and the indicator vector.
+    """
+
+    def __init__(self, space: ParamSpace, log_prob: Callable, n_bits: int,
+                 *, p_flip: float = 0.3):
+        self.space = space
+        self.log_prob = log_prob
+        self.n_bits = int(n_bits)
+        self.p_flip = float(p_flip)
+        self.blocks = [s.name for s in space.free_specs()]
+        dim = space.unconstrained_size
+        masks, idx = [], 0
+        for s in space.free_specs():
+            m = np.zeros(dim)
+            m[idx: idx + s.unconstrained_size] = 1.0
+            masks.append(m)
+            idx += s.unconstrained_size
+        self.masks = jnp.asarray(np.stack(masks)) if masks else None
+        self._dim = dim
+
+    def _target(self, u, bits):
+        uparams = self.space.unflatten_unconstrained(u)
+        params = self.space.constrain(uparams)
+        return self.log_prob(params, bits) + self.space.log_jacobian(uparams)
+
+    def run(self, key, params: dict, bits0, *, n_iter: int = 10000,
+            every: int = 10, init_step: float = 0.1, adapt: bool = True,
+            adapt_interval: int = 200, burnin: int = 0):
+        space = self.space
+        u0 = space.flatten_unconstrained(space.unconstrain(params))
+        bits0 = jnp.asarray(bits0, dtype=jnp.int32)
+        n_blocks = max(len(self.blocks), 1)
+        sigmas = jnp.full(n_blocks, init_step, dtype=u0.dtype)
+        masks = (self.masks.astype(u0.dtype) if self.masks is not None
+                 else jnp.zeros((1, self._dim), dtype=u0.dtype))
+        p_flip = self.p_flip if self.n_bits else 0.0
+
+        def kernel(state, key, sigmas):
+            u, bits, logp, acc, tries = state
+            k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+            do_flip = jax.random.uniform(k1) < p_flip
+            # continuous proposal
+            b = jax.random.randint(k2, (), 0, n_blocks)
+            eps = jax.random.normal(k3, u.shape, dtype=u.dtype)
+            u_cont = u + sigmas[b] * masks[b] * eps
+            # bitflip proposal
+            j = jax.random.randint(k4, (), 0, max(self.n_bits, 1))
+            bits_flip = bits.at[j].set(1 - bits[j])
+            u_new = jnp.where(do_flip, u, u_cont)
+            bits_new = jnp.where(do_flip, bits_flip, bits)
+            logp_new = self._target(u_new, bits_new)
+            accept = (jnp.log(jax.random.uniform(k5, dtype=u.dtype))
+                      < logp_new - logp) & jnp.isfinite(logp_new)
+            u = jnp.where(accept, u_new, u)
+            bits = jnp.where(accept, bits_new, bits)
+            logp = jnp.where(accept, logp_new, logp)
+            slot = jnp.where(do_flip, n_blocks, b)
+            acc = acc.at[slot].add(accept.astype(u.dtype))
+            tries = tries.at[slot].add(1.0)
+            return (u, bits, logp, acc, tries)
+
+        @jax.jit
+        def run_chunk(state, keys, sigmas):
+            def body(state, key):
+                return kernel(state, key, sigmas), None
+
+            state, _ = jax.lax.scan(body, state, keys)
+            return state
+
+        logp0 = self._target(u0, bits0)
+        state = (u0, bits0, logp0,
+                 jnp.zeros(n_blocks + 1, dtype=u0.dtype),
+                 jnp.zeros(n_blocks + 1, dtype=u0.dtype))
+        n_samples = n_iter // every
+        burn_chunks = burnin // every
+        us = np.empty((n_samples, self._dim))
+        bit_samples = np.empty((n_samples, max(self.n_bits, 1)), dtype=np.int32)
+        lps = np.empty(n_samples)
+        si = 0
+        adapt_chunks = max(1, adapt_interval // every)
+        for ci in range(n_samples + burn_chunks):
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, every)
+            state = run_chunk(state, keys, sigmas)
+            if ci >= burn_chunks:
+                us[si] = np.asarray(state[0])
+                bit_samples[si] = np.asarray(state[1])
+                lps[si] = float(state[2])
+                si += 1
+            if adapt and (ci + 1) % adapt_chunks == 0:
+                acc, tries = np.asarray(state[3]), np.asarray(state[4])
+                rate = np.where(tries[:-1] > 0,
+                                acc[:-1] / np.maximum(tries[:-1], 1), 0.24)
+                sigmas = sigmas * jnp.asarray(
+                    np.exp(np.clip(rate - 0.24, -0.5, 0.5)))
+                state = (state[0], state[1], state[2],
+                         jnp.zeros_like(state[3]), jnp.zeros_like(state[4]))
+        acc, tries = np.asarray(state[3]), np.asarray(state[4])
+        return {
+            "samples_u": us, "bits": bit_samples, "log_posterior": lps,
+            "acceptance": np.where(tries > 0, acc / np.maximum(tries, 1),
+                                   np.nan),
+            "space": space,
+        }

@@ -1,0 +1,259 @@
+"""Topology MCMC: Metropolis-Hastings over topologies, branch lengths and
+substitution/site parameters.
+
+Rebuild of the reference's tree operators inside MCMC (reference:
+src/phyc/operator.c:419-626 `_operator_nni` / scaler / slider entries,
+dispatched from the mcmc.c:112-142 store/propose/accept loop). TPU-first
+redesign:
+
+- the likelihood evaluator is compiled ONCE with the topology as runtime
+  data (``ops/dynamic_pruning.tree_loglik_dynamic``): children index arrays,
+  tip-row permutation and branch lengths are device inputs, so topology
+  proposals never retrace/recompile (the reference instead mutates its
+  incremental C object graph in place),
+- proposals mix three move families — NNI on a uniformly chosen internal
+  edge (symmetric: every binary topology on T taxa has the same number of
+  rooted-NNI rearrangements, so log q ratio = 0), a log-space scaler on one
+  branch length (Hastings ratio log m, operator.c scaler semantics), and a
+  Gaussian random walk on one unconstrained parameter block (subsumes the
+  reference's scaler/slider operators after the constrain transform),
+- move-size self-tuning targets 0.24 acceptance (operator.c:403-414),
+- tree samples are returned as newick strings (the reference's tree log,
+  logmcmc.h) so SBN / clade-support post-processing consumes them directly.
+
+The NNI bookkeeping (nested-dict surgery, postorder renumbering) is host
+work per proposal; the likelihood itself is one device call. For small
+phylogenetic state spaces this is proposal-latency-bound either way — the
+batched-chain upgrade is to vmap the evaluator over per-chain children
+arrays (see ops/dynamic_pruning.batched_tree_loglik).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.parameters import ParamSpace
+from ..ops.dynamic_pruning import tree_loglik_dynamic
+from ..trees.topology import Topology
+from .topology_search import to_nested, nni_neighbors
+
+
+@dataclass
+class TreeMCMCResult:
+    trees: list                  # newick strings, every `every` iterations
+    samples_u: np.ndarray        # [S, dim] unconstrained parameter samples
+    branch_lengths: np.ndarray   # [S, N] per-node branch lengths
+    log_posterior: np.ndarray    # [S]
+    acceptance: dict             # per move family
+    space: ParamSpace = None
+    final_topology: Topology = None
+    final_distances: np.ndarray = None
+    history: list = field(default_factory=list)
+
+    def params_at(self, i):
+        u = self.space.unflatten_unconstrained(jnp.asarray(self.samples_u[i]))
+        return self.space.constrain(u)
+
+
+def _candidate_arrays(topo: Topology, dist, base_names):
+    children = np.asarray(topo.children[:, :2], dtype=np.int32)
+    perm = np.asarray([base_names[t] for t in topo.taxa], dtype=np.int32)
+    bl = np.nan_to_num(np.asarray(dist, dtype=np.float64), nan=0.0)
+    return children, perm, bl
+
+
+class TreeMCMC:
+    """MH over (topology, branch lengths, model parameters) for an unrooted
+    ``TreeLikelihood`` (binary rooted representation; reversible models are
+    root-placement invariant).
+
+    ``log_prior(params, bl)`` is an optional joint prior over the constrained
+    model parameters and the per-node branch-length vector; by default an
+    exponential(10) prior is placed on branch lengths (the reference configs'
+    usual choice) and the parameter prior is flat.
+    """
+
+    def __init__(self, tlk, *, log_prior=None, bl_prior_rate: float = 10.0):
+        self.tlk = tlk
+        specs = [s for s in tlk.param_space().specs
+                 if s.name != tlk.key("distances")]
+        self.space = ParamSpace(specs)
+        self._base_names = {t: i for i, t in enumerate(tlk.topo.taxa)}
+        self.log_prior = log_prior
+        self.bl_prior_rate = float(bl_prior_rate)
+        self._eval = self._make_eval()
+
+    def _make_eval(self):
+        tlk, space = self.tlk, self.space
+        tp = tlk.tip_partials
+        w = tlk.weights
+
+        @jax.jit
+        def logpost(u, children, perm, bl):
+            params = space.constrain(space.unflatten_unconstrained(u))
+            rates, props = tlk.site_model.rates_props(params)
+            freqs = tlk.subst.frequencies(params)
+            blc = jnp.clip(bl, 0.0, None)[:, None] * rates[None, :]
+            pmats = tlk.subst.p_t(params, blc).astype(tlk.dtype)
+            ll = tree_loglik_dynamic(
+                tp[perm], pmats, children, freqs.astype(tlk.dtype),
+                props.astype(tlk.dtype), w, rescale=tlk.rescale)[0]
+            lp = ll + space.log_jacobian(space.unflatten_unconstrained(u))
+            if self.log_prior is not None:
+                lp = lp + self.log_prior(params, bl)
+            else:
+                r = self.bl_prior_rate
+                n_br = bl.shape[0] - 1  # root branch unused
+                lp = lp + n_br * jnp.log(r) - r * jnp.sum(bl[:-1])
+            return lp
+
+        return logpost
+
+    # -- proposals ----------------------------------------------------------
+
+    def _propose_nni(self, rng, nested):
+        neighbors = nni_neighbors(nested)
+        if not neighbors:
+            return None
+        return neighbors[rng.integers(len(neighbors))], 0.0
+
+    def run(self, key, params: dict, *, n_iter: int = 10000,
+            every: int = 100, burnin: int = 0, p_topo: float = 0.2,
+            p_bl: float = 0.4, init_step: float = 0.1,
+            bl_lambda: float = 1.0, adapt: bool = True,
+            adapt_interval: int = 200, seed: int = 0) -> TreeMCMCResult:
+        from ..io.treeio import write_newick
+
+        tlk, space = self.tlk, self.space
+        rng = np.random.default_rng(
+            int(jax.random.randint(key, (), 0, 2**31 - 1)) ^ seed)
+        topo = tlk.topo
+        dist = np.array(tlk.distances_init, dtype=np.float64)
+        # per-node branch lengths (root entry unused)
+        bl = np.zeros(topo.N)
+        bl[: dist.shape[0]] = dist
+        nested = to_nested(topo, bl)
+
+        u = np.asarray(space.flatten_unconstrained(space.unconstrain(params)))
+        blocks = list(space.free_specs())
+        block_slices = []
+        off = 0
+        for s in blocks:
+            block_slices.append((off, off + s.unconstrained_size))
+            off += s.unconstrained_size
+        sigmas = np.full(len(blocks), init_step)
+        lam = bl_lambda
+
+        children, perm, bl = _candidate_arrays(topo, bl, self._base_names)
+        logp = float(self._eval(jnp.asarray(u), children, perm, bl))
+
+        acc = {"nni": [0, 0], "branch": [0, 0], "param": [0, 0]}
+        acc_win = {"branch": [0, 0], "param": [0, 0]}
+        trees, samples, bls, lps = [], [], [], []
+
+        if not blocks:
+            # no free model parameters: renormalize over topology+branch
+            tot = p_topo + p_bl
+            p_topo, p_bl = p_topo / tot, p_bl / tot
+
+        for it in range(n_iter):
+            r = rng.random()
+            if r < p_topo and topo.I > 1:
+                move = "nni"
+                prop = self._propose_nni(rng, nested)
+                if prop is not None:
+                    cand_nested, log_hr = prop
+                    topo_c, dist_c = Topology.from_nested(cand_nested)
+                    ch_c, perm_c, bl_c = _candidate_arrays(
+                        topo_c, dist_c, self._base_names)
+                    logp_new = float(self._eval(jnp.asarray(u), ch_c, perm_c,
+                                                bl_c))
+                    if (np.isfinite(logp_new)
+                            and np.log(rng.random())
+                            < logp_new - logp + log_hr):
+                        nested, topo = cand_nested, topo_c
+                        children, perm, bl = ch_c, perm_c, bl_c
+                        logp = logp_new
+                        acc["nni"][0] += 1
+                    acc["nni"][1] += 1
+            elif r < p_topo + p_bl:
+                move = "branch"
+                j = rng.integers(topo.N - 1)
+                m = np.exp(lam * (rng.random() - 0.5))
+                bl_new = bl.copy()
+                bl_new[j] = bl[j] * m
+                logp_new = float(self._eval(jnp.asarray(u), children, perm,
+                                            bl_new))
+                if (np.isfinite(logp_new)
+                        and np.log(rng.random()) < logp_new - logp
+                        + np.log(m)):
+                    bl = bl_new
+                    logp = logp_new
+                    acc["branch"][0] += 1
+                    acc_win["branch"][0] += 1
+                acc["branch"][1] += 1
+                acc_win["branch"][1] += 1
+                self._sync_nested_lengths(nested, topo, bl)
+            else:
+                move = "param"
+                b = rng.integers(len(blocks))
+                lo, hi = block_slices[b]
+                u_new = u.copy()
+                u_new[lo:hi] = u[lo:hi] + sigmas[b] * rng.standard_normal(
+                    hi - lo)
+                logp_new = float(self._eval(jnp.asarray(u_new), children,
+                                            perm, bl))
+                if (np.isfinite(logp_new)
+                        and np.log(rng.random()) < logp_new - logp):
+                    u = u_new
+                    logp = logp_new
+                    acc["param"][0] += 1
+                    acc_win["param"][0] += 1
+                acc["param"][1] += 1
+                acc_win["param"][1] += 1
+
+            if adapt and (it + 1) % adapt_interval == 0:
+                for name, arr in acc_win.items():
+                    if arr[1] == 0:
+                        continue
+                    rate = arr[0] / arr[1]
+                    f = np.exp(np.clip(rate - 0.24, -0.5, 0.5))
+                    if name == "branch":
+                        lam *= f
+                    else:
+                        sigmas *= f
+                    arr[0] = arr[1] = 0
+
+            if it >= burnin and (it + 1) % every == 0:
+                trees.append(write_newick(topo, bl))
+                samples.append(u.copy())
+                bls.append(bl.copy())
+                lps.append(logp)
+
+        return TreeMCMCResult(
+            trees=trees,
+            samples_u=np.asarray(samples) if samples else np.empty((0, u.size)),
+            branch_lengths=np.asarray(bls) if bls else np.empty((0, topo.N)),
+            log_posterior=np.asarray(lps),
+            acceptance={k: (v[0] / v[1] if v[1] else np.nan)
+                        for k, v in acc.items()},
+            space=space, final_topology=topo, final_distances=bl)
+
+    @staticmethod
+    def _sync_nested_lengths(nested, topo: Topology, bl):
+        """Write the per-node branch lengths back into the nested dict (kept
+        in lockstep so NNI proposals carry current lengths)."""
+
+        def walk(node, node_id):
+            if node_id != topo.root:
+                node["length"] = float(bl[node_id])
+            if node_id >= topo.T:
+                k = node_id - topo.T
+                for j, c in enumerate(node["children"]):
+                    walk(c, int(topo.children[k, j]))
+
+        walk(nested, topo.root)

@@ -130,3 +130,67 @@ class RelaxedClock(BranchModel):
     def rates(self, params):
         r = params[self.key("rates")]
         return jnp.concatenate([r, jnp.zeros(1, r.dtype)])
+
+
+def ancestor_chains(topo) -> np.ndarray:
+    """[N, D] ancestor chain per node: row = (self, parent, ..., root),
+    right-padded with the root id. Static topology bookkeeping for the
+    jittable SSVS rate resolution below."""
+    N = topo.N
+    chains = []
+    for n in range(N):
+        chain = [n]
+        while topo.parent[chain[-1]] >= 0:
+            chain.append(int(topo.parent[chain[-1]]))
+        chains.append(chain)
+    D = max(len(c) for c in chains)
+    out = np.full((N, D), topo.root, dtype=np.int32)
+    for n, c in enumerate(chains):
+        out[n, : len(c)] = c
+    return out
+
+
+class SSVSLocalClock(BranchModel):
+    """Local clocks with *sampled* placements: per-node indicator bits are
+    part of the MCMC state (reference: branchmodel.h:64-67 SSVS indicators +
+    the bitflip operator, operator.c). Unlike :class:`LocalClock` (static
+    host-resolved placements), the indicator->rate resolution here is a
+    jittable gather: a node takes the local rate of its nearest
+    indicator-active ancestor-or-self, else the background rate.
+
+    Parameters: ``rate`` (background, scalar), ``local_rates`` ([N], the
+    rate a node's clade inherits while its indicator is set).
+    Use with :class:`physher_tpu.inference.mcmc.MixedMCMC` — the bits vector
+    is the sampler's discrete state, not a ParamSpec.
+    """
+
+    def __init__(self, topo, prefix="", rate_init=1e-3):
+        super().__init__(topo.N, prefix)
+        self.topo = topo
+        self.chains = jnp.asarray(ancestor_chains(topo))  # [N, D]
+        self.rate_init = rate_init
+
+    def param_specs(self):
+        return [
+            ParamSpec.scalar(self.key("rate"), self.rate_init, lower=0.0),
+            ParamSpec.vector(self.key("local_rates"),
+                             np.full(self.N, self.rate_init), lower=0.0),
+        ]
+
+    def rates_from_indicators(self, params, bits) -> jnp.ndarray:
+        """Effective per-node rates [N] given indicator bits [N] (int/bool).
+
+        first-active-ancestor = argmax over the (self->root) chain of the
+        bit mask (argmax returns the FIRST maximum, i.e. the nearest).
+        """
+        bits = jnp.asarray(bits)
+        b = bits[self.chains]                        # [N, D]
+        has = jnp.any(b > 0, axis=1)                 # [N]
+        first = jnp.argmax(b, axis=1)                # [N]
+        src = jnp.take_along_axis(self.chains, first[:, None], axis=1)[:, 0]
+        local = params[self.key("local_rates")][src]
+        return jnp.where(has, local, params[self.key("rate")])
+
+    def rates(self, params):
+        # without bits this degenerates to a strict clock
+        return jnp.broadcast_to(params[self.key("rate")], (self.N,))

@@ -180,3 +180,56 @@ class TestSitewiseCpo:
         first = sw.read_text().splitlines()[0]
         assert first.startswith("#")     # reference weight-line format
         assert "LPML" in out.stdout
+
+
+class TestTreeMcmcConfig:
+    def test_nni_operator_routes_to_tree_mcmc(self, tmp_path):
+        from physher_tpu.config.builder import build_config
+        from physher_tpu.config.actions import Runner
+        from physher_tpu.io.treeio import read_newick
+
+        cfg = {
+            "model": {
+                "id": "treelikelihood", "type": "treelikelihood",
+                "sitepattern": {
+                    "id": "patterns", "type": "sitepattern",
+                    "datatype": "nucleotide",
+                    "alignment": {"id": "seqs", "type": "alignment",
+                                  "file": os.path.join(DATA, "tiny.fa")}},
+                "sitemodel": {
+                    "id": "sitemodel", "type": "sitemodel",
+                    "substitutionmodel": {
+                        "id": "sm", "type": "substitutionmodel",
+                        "model": "jc69", "datatype": "nucleotide"}},
+                "tree": {"id": "tree", "type": "tree",
+                         "parameters": "tree.distances",
+                         "init": {"algorithm": "nj",
+                                  "sitepattern": "&patterns"}},
+            },
+            "physher": [
+                {"id": "mcmc", "type": "mcmc", "length": 600,
+                 "model": "&treelikelihood",
+                 "operators": [
+                     {"id": "o1", "type": "operator", "algorithm": "nni",
+                      "x": "&tree", "weight": 1},
+                     {"id": "o2", "type": "operator", "algorithm": "scaler",
+                      "x": "%tree.distances", "weight": 4}],
+                 "log": [
+                     {"id": "l1", "type": "logger", "every": 100,
+                      "file": str(tmp_path / "chain.log")},
+                     {"id": "l2", "type": "logger", "every": 100,
+                      "file": str(tmp_path / "chain.trees"),
+                      "models": "&tree"}]},
+            ],
+        }
+        ctx, actions = build_config(cfg, base_dir=DATA)
+        r = Runner(ctx, seed=1)
+        res = r.run(actions)["mcmc"]
+        assert 0 < res.acceptance["nni"] <= 1.0
+        lines = (tmp_path / "chain.log").read_text().strip().split("\n")
+        assert lines[0] == "state\tposterior"
+        assert len(lines) == 7  # header + 600/100 samples
+        trees = (tmp_path / "chain.trees").read_text().strip().split("\n")
+        assert len(trees) == 6
+        topo, _ = read_newick(trees[-1])
+        assert topo.T == 10

@@ -1,0 +1,148 @@
+"""Topology MCMC (NNI operator) and discrete bitflip MCMC (SSVS).
+
+Reference parity: src/phyc/operator.c NNI + bitflip operators inside the
+mcmc.c store/propose/accept loop; branchmodel.h:64-67 SSVS local-clock
+indicators.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from physher_tpu.data.sitepattern import SitePattern
+from physher_tpu.data.datatype import NucleotideDataType
+from physher_tpu.io.seqio import read_alignment
+from physher_tpu.io.treeio import read_newick, write_newick
+from physher_tpu.models.substitution import JC69
+from physher_tpu.models.treelikelihood import TreeLikelihood
+from physher_tpu.inference.treemcmc import TreeMCMC
+from physher_tpu.inference.topology_search import to_nested, nni_neighbors
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _tiny_tlk():
+    aln = read_alignment(os.path.join(DATA, "tiny.fa"))
+    sp = SitePattern.from_alignment(aln)
+    from physher_tpu.data.distance import distance_matrix
+    from physher_tpu.trees.build import nj
+
+    topo, dist = nj(sp.taxa, distance_matrix(sp))
+    return TreeLikelihood(sp, topo, JC69(),
+                          distances_init=dist[: topo.N - 1])
+
+
+class TestTreeMCMC:
+    def test_mixes_and_logs_parseable_trees(self):
+        tlk = _tiny_tlk()
+        tm = TreeMCMC(tlk)
+        res = tm.run(jax.random.PRNGKey(0), tm.space.init_params(),
+                     n_iter=1500, every=50, burnin=100)
+        assert 0.0 < res.acceptance["nni"] < 1.0
+        assert 0.0 < res.acceptance["branch"] < 1.0
+        assert np.all(np.isfinite(res.log_posterior))
+        assert len(res.trees) > 10
+        # every logged tree must be a valid newick over the same taxa
+        base = sorted(tlk.topo.taxa)
+        for t in res.trees[:5] + res.trees[-5:]:
+            topo2, _ = read_newick(t)
+            assert sorted(topo2.taxa) == base
+
+    def test_nni_proposal_is_symmetric(self):
+        # the uniform-NNI proposal is symmetric because every binary
+        # topology on T taxa has the same number of rooted-NNI neighbors
+        tlk = _tiny_tlk()
+        nested = to_nested(tlk.topo, np.nan_to_num(
+            np.concatenate([tlk.distances_init, [np.nan]])))
+        n0 = len(nni_neighbors(nested))
+        assert n0 > 0
+        for cand in nni_neighbors(nested)[:6]:
+            assert len(nni_neighbors(cand)) == n0
+
+    def test_recovers_true_topology_strong_signal(self):
+        # 4 taxa, strong ((A,B),(C,D)) signal: AB identical, CD identical,
+        # the two pairs far apart
+        rng = np.random.default_rng(0)
+        L = 400
+        anc = rng.integers(0, 4, L)
+        other = (anc + 1 + rng.integers(0, 3, L)) % 4
+        alpha = "ACGT"
+        seqs = {
+            "A": "".join(alpha[i] for i in anc),
+            "B": "".join(alpha[i] for i in anc),
+            "C": "".join(alpha[i] for i in other),
+            "D": "".join(alpha[i] for i in other),
+        }
+        sp = SitePattern.from_alignment(seqs)
+        topo, _ = read_newick("((A:0.1,C:0.1):0.1,(B:0.1,D:0.1):0.1);")
+        # tip order of the START tree is wrong on purpose
+        tlk = TreeLikelihood(sp, topo, JC69(),
+                             distances_init=np.full(topo.N - 1, 0.1))
+        tm = TreeMCMC(tlk)
+        res = tm.run(jax.random.PRNGKey(1), tm.space.init_params(),
+                     n_iter=3000, every=20, burnin=1000, p_topo=0.4)
+        # count posterior support for the AB|CD split
+        ab = 0
+        for t in res.trees:
+            topo2, _ = read_newick(t)
+            from physher_tpu.trees.stats import splits
+
+            names = set(splits(topo2).keys())
+            if frozenset({"A", "B"}) in names or \
+               frozenset({"C", "D"}) in names:
+                ab += 1
+        assert ab / len(res.trees) > 0.95
+
+
+class TestMixedMCMC:
+    def test_bitflip_posterior_frequency(self):
+        # target: x ~ N(2*b, 1), prior P(b=1)=0.3 — marginally the bit
+        # posterior equals its prior (the Gaussian integrates to the same
+        # mass for either mean)
+        from physher_tpu.models.parameters import ParamSpec, ParamSpace
+        from physher_tpu.inference.mcmc import MixedMCMC
+
+        import jax.numpy as jnp
+
+        space = ParamSpace([ParamSpec.scalar("x", 0.0)])
+
+        def log_prob(params, bits):
+            mu = 2.0 * bits[0]
+            lp_bit = jnp.where(bits[0] == 1, jnp.log(0.3), jnp.log(0.7))
+            return -0.5 * (params["x"] - mu) ** 2 + lp_bit
+
+        mm = MixedMCMC(space, log_prob, n_bits=1, p_flip=0.4)
+        out = mm.run(jax.random.PRNGKey(2), {"x": 0.0}, np.zeros(1),
+                     n_iter=40000, every=10, burnin=4000)
+        freq = out["bits"][:, 0].mean()
+        assert abs(freq - 0.3) < 0.06, freq
+        assert np.all(np.isfinite(out["log_posterior"]))
+
+    def test_ssvs_local_clock_matches_host_resolution(self):
+        from physher_tpu.models.clock import (
+            LocalClock, SSVSLocalClock, ancestor_chains)
+
+        topo, _ = read_newick(
+            "(((A:1,B:1):1,(C:1,D:1):1):1,(E:1,F:1):2);")
+        rng = np.random.default_rng(3)
+        bits = np.zeros(topo.N, dtype=np.int32)
+        bits[[topo.T + 0, topo.T + 2]] = 1  # two active internal nodes
+
+        ssvs = SSVSLocalClock(topo, rate_init=1e-3)
+        params = ssvs.param_space().init_params()
+        local = np.asarray(params["local_rates"]).copy()
+        local[:] = rng.uniform(1e-4, 1e-2, topo.N)
+        params = dict(params, local_rates=local)
+        eff = np.asarray(ssvs.rates_from_indicators(params, bits))
+
+        # host-side resolution via the static LocalClock class map
+        cmap = LocalClock.class_map_from_indicators(topo, bits.astype(bool))
+        active = np.flatnonzero(bits)
+        expected = np.where(
+            cmap > 0,
+            local[np.concatenate([[0], active])[cmap]],
+            float(params["rate"]))
+        np.testing.assert_allclose(eff, expected, rtol=1e-12)
