@@ -132,9 +132,22 @@ class TreeLikelihood:
         return jnp.concatenate([dist, jnp.zeros(1, dist.dtype)])
 
     def _engine(self):
-        """Select the pruning engine: the fused Pallas TPU kernel when it
-        fits (ops/pallas_pruning.py — whole postorder in VMEM per pattern
-        tile) else the level-batched XLA path (ops/pruning.py)."""
+        """Select the pruning engine: the loop-based Pallas TPU kernel when
+        it fits (ops/pallas_pruning_loop.py — whole postorder in VMEM per
+        pattern tile, constant program size, analytic rematerializing VJP),
+        the unrolled Pallas kernel on request (ops/pallas_pruning.py), else
+        the level-batched XLA path (ops/pruning.py)."""
+        if self.engine == "pallas-loop" or (
+                self.engine == "auto" and self._pallas_loop_fits()):
+            from ..ops.pallas_pruning_loop import loop_tree_log_likelihood
+
+            def run(tips, pmats, topo, freqs, props, weights, rescale):
+                return loop_tree_log_likelihood(
+                    tips, pmats, topo, freqs, props, weights,
+                    rescale=rescale,
+                    interpret=jax.default_backend() != "tpu")
+
+            return run
         if self.engine == "pallas" or (
                 self.engine == "auto" and self._pallas_fits()):
             from ..ops.pallas_pruning import pallas_tree_log_likelihood
@@ -147,6 +160,30 @@ class TreeLikelihood:
 
             return run
         return tree_log_likelihood
+
+    def _pallas_loop_fits(self) -> bool:
+        import os
+
+        from ..ops.pallas_pruning_loop import TILE, vmem_estimate_loop
+
+        if os.environ.get("PHYSHER_TPU_ENGINE") == "xla":
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        if jax.config.jax_enable_x64:
+            # x64 mode makes Pallas index maps emit i64, which Mosaic
+            # rejects; f64 runs use the XLA path (TPUs have no f64 anyway)
+            return False
+        if jnp.dtype(self.dtype).itemsize != 4 or self._P % TILE:
+            return False
+        C = len(self.site_model.rates_props(
+            self.site_model.param_space().init_params())[1])
+        S = self.tip_partials.shape[1]
+        # auto only for the TPU-validated nucleotide case; other state
+        # counts opt in with engine="pallas-loop"
+        if S != 4:
+            return False
+        return vmem_estimate_loop(self.topo.N, C, S, backward=True) < 10 << 20
 
     def _pallas_fits(self) -> bool:
         import os

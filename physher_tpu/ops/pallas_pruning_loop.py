@@ -9,11 +9,14 @@ unrolled static schedule. Compile time is O(block_size) rather than O(N)
 reuses one program for every iteration.
 
 Reference: the same C hot path (src/phyc/treelikelihood4.c update_partials,
-treelikelihood.c:1454-1735); gradient support comes from composing with the
-unrolled kernel's custom VJP or plain autodiff via the XLA path — this
-module provides the forward likelihood only (its primary consumer is
-fixed-topology MCMC/VI inner loops where the same compiled program runs
-millions of times).
+treelikelihood.c:1454-1735). Gradients: ``loop_site_log`` carries a custom
+VJP whose backward pass is a second loop kernel that REMATERIALIZES the
+forward sweep in VMEM and then runs the mirrored preorder (upper-partials)
+sweep — the reference's O(N) analytic gradient (treelikelihood.c:2129-3100)
+with zero HBM residual traffic: nothing but the inputs and the [N,C,S,S]
+P-matrix cotangents ever leaves the chip's VMEM. Recomputing the forward
+costs ~half the backward FLOPs but saves writing+reading the [N,C,S,P]
+partials tensor through HBM, which is the actual bottleneck.
 """
 
 from __future__ import annotations
@@ -59,9 +62,9 @@ def _kernel(C, S, block, maxc, rescale, n_steps,
     def init_tip(t, _):
         tp = tips_ref[pl.ds(t, 1)]                     # [1, S, TILE]
         buf[pl.ds(t, 1)] = jnp.broadcast_to(tp[:, None], (1, C, S, TILE))
-        return 0
+        return _
 
-    jax.lax.fori_loop(0, T, init_tip, 0)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), init_tip, jnp.int32(0))
     scal_acc[0, :] = jnp.zeros((TILE,), f32)
 
     def step(b, _):
@@ -88,9 +91,9 @@ def _kernel(C, S, block, maxc, rescale, n_steps,
                 res = res / m[None, None, :]
                 scal_acc[0, :] = scal_acc[0, :] + jnp.log(m)
             buf[pl.ds(node, 1)] = res[None]
-        return 0
+        return _
 
-    jax.lax.fori_loop(0, n_steps, step, 0)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), step, jnp.int32(0))
 
     root = root_ref[0]
     rp = buf[pl.ds(root, 1)][0]                        # [C, S, TILE]
@@ -159,13 +162,254 @@ def build_loop_forward(topo: Topology, C: int, S: int, P: int, *,
     return fn
 
 
-def loop_tree_log_likelihood(tip_partials, pmats, topo: Topology, freqs,
-                             props, weights, *, rescale: bool = True,
-                             block: int = 4, interpret: bool = False):
-    """(logL, site_log) via the loop kernel (forward only)."""
+def _backward_kernel(C, S, block, maxc, rescale, n_steps, T,
+                     nodes_ref, childs_ref, root_ref, tips_ref, pmats_ref,
+                     g_ref, freqs_ref, props_ref,
+                     dpmats_ref, dfreqs_ref, dprops_ref,
+                     buf, gbuf, minv_buf):
+    """Rematerialized forward + mirrored preorder sweep, loop-based.
+
+    Math identical to ops/pallas_pruning.py:_backward_kernel; topology comes
+    in as scalar-prefetched (nodes, childs) block schedule with -1 padding
+    for missing children and node id N for dummy slots (row N of the VMEM
+    buffers is scratch).
+    """
+    from jax.experimental import pallas as pl
+
+    f32 = tips_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dpmats_ref[...] = jnp.zeros_like(dpmats_ref[...])
+        dfreqs_ref[...] = jnp.zeros_like(dfreqs_ref[...])
+        dprops_ref[...] = jnp.zeros_like(dprops_ref[...])
+
+    # ---- forward recompute (same rescaling decisions as the forward) ----
+    def init_tip(t, _):
+        tp = tips_ref[pl.ds(t, 1)]                     # [1, S, TILE]
+        buf[pl.ds(t, 1)] = jnp.broadcast_to(tp[:, None], (1, C, S, TILE))
+        minv_buf[pl.ds(t, 1)] = jnp.ones((1, TILE), f32)
+        return _
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), init_tip, jnp.int32(0))
+    gbuf[...] = jnp.zeros_like(gbuf[...])
+
+    def fstep(b, _):
+        for j in range(block):
+            idx = b * block + j
+            node = nodes_ref[idx]
+            res = jnp.ones((C, S, TILE), f32)
+            for ci in range(maxc):
+                child = childs_ref[idx, ci]
+                csafe = jnp.maximum(child, 0)
+                pm = pmats_ref[pl.ds(csafe, 1)][0]
+                cp = buf[pl.ds(csafe, 1)][0]
+                contrib = jnp.stack([
+                    jnp.dot(pm[c], cp[c], preferred_element_type=f32)
+                    for c in range(C)
+                ])
+                valid = (child >= 0).astype(f32)
+                contrib = contrib * valid + (1.0 - valid)
+                res = res * contrib
+            if rescale:
+                m = jnp.max(res, axis=(0, 1))
+                m = jnp.maximum(m, jnp.finfo(f32).tiny)
+                res = res / m[None, None, :]
+                minv_buf[pl.ds(node, 1)] = (1.0 / m)[None]
+            else:
+                minv_buf[pl.ds(node, 1)] = jnp.ones((1, TILE), f32)
+            buf[pl.ds(node, 1)] = res[None]
+        return _
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), fstep, jnp.int32(0))
+
+    # ---- root cotangent (scaled coordinates) ----
+    root = root_ref[0]
+    rp = buf[pl.ds(root, 1)][0]                        # [C, S, TILE]
+    site = None
+    per_cat = []
+    for c in range(C):
+        pc = jnp.dot(freqs_ref[:], rp[c], preferred_element_type=f32)[0]
+        per_cat.append(pc)                             # [TILE]
+        term = props_ref[0, c] * pc
+        site = term if site is None else site + term
+    site = jnp.maximum(site, jnp.finfo(f32).tiny)
+    inv = g_ref[0, :] / site                           # [TILE]
+
+    g_root = jnp.stack([
+        props_ref[0, c] * freqs_ref[0][:, None] * inv[None, :]
+        for c in range(C)
+    ])                                                 # [C, S, TILE]
+    gbuf[pl.ds(root, 1)] = g_root[None]
+
+    dfr = None
+    for c in range(C):
+        t = props_ref[0, c] * jnp.sum(rp[c] * inv[None, :], axis=1)  # [S]
+        dfr = t if dfr is None else dfr + t
+    dfreqs_ref[0, :] = dfreqs_ref[0, :] + dfr
+    dpr = jnp.stack([jnp.sum(per_cat[c] * inv) for c in range(C)])
+    dprops_ref[0, :] = dprops_ref[0, :] + dpr
+
+    # ---- reverse sweep ----
+    def bstep(r, _):
+        b = n_steps - 1 - r
+        for jj in range(block):
+            idx = b * block + (block - 1 - jj)
+            node = nodes_ref[idx]
+            minv = minv_buf[pl.ds(node, 1)][0]         # [TILE]
+            gn = gbuf[pl.ds(node, 1)][0]               # [C, S, TILE]
+            g_raw = gn * minv[None, None, :]
+            contribs, pms, cps, valids = [], [], [], []
+            for ci in range(maxc):
+                child = childs_ref[idx, ci]
+                csafe = jnp.maximum(child, 0)
+                pm = pmats_ref[pl.ds(csafe, 1)][0]
+                cp = buf[pl.ds(csafe, 1)][0]
+                contrib = jnp.stack([
+                    jnp.dot(pm[c], cp[c], preferred_element_type=f32)
+                    for c in range(C)
+                ])
+                valid = (child >= 0).astype(f32)
+                contribs.append(contrib * valid + (1.0 - valid))
+                pms.append(pm)
+                cps.append(cp)
+                valids.append(valid)
+            for i in range(maxc):
+                child = childs_ref[idx, i]
+                csafe = jnp.maximum(child, 0)
+                other = g_raw * valids[i]
+                for j in range(maxc):
+                    if j != i:
+                        other = other * contribs[j]
+                dpm = jnp.stack([
+                    jnp.dot(other[c], cps[i][c].T, preferred_element_type=f32)
+                    for c in range(C)
+                ])                                     # [C, S, S]
+                cur = dpmats_ref[pl.ds(csafe, 1)]
+                dpmats_ref[pl.ds(csafe, 1)] = cur + dpm[None]
+                gch = jnp.stack([
+                    jnp.dot(pms[i][c].T, other[c], preferred_element_type=f32)
+                    for c in range(C)
+                ])
+                gbuf[pl.ds(csafe, 1)] = gch[None]
+        return _
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), bstep, jnp.int32(0))
+
+
+def build_loop_backward(topo: Topology, C: int, S: int, P: int, *,
+                        rescale: bool = True, block: int = 4,
+                        interpret: bool = False, dtype=jnp.float32):
+    """Returns fn(tips, pmats_pad [N+1,...], g [P], freqs, props) ->
+    (dpmats_pad [N+1,C,S,S], dfreqs [S], dprops [C])."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, T = topo.N, topo.T
+    nodes, childs = _schedule(topo, block)
+    n_steps = len(nodes) // block
+    maxc = childs.shape[1]
+    n_tiles = P // TILE
+    root = np.asarray([topo.N - 1], dtype=np.int32)
+
+    kernel = partial(_backward_kernel, C, S, block, maxc, rescale,
+                     n_steps, T)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((T, S, TILE), lambda p, *_: (0, 0, p)),
+            pl.BlockSpec((N + 1, C, S, S), lambda p, *_: (0, 0, 0, 0)),
+            pl.BlockSpec((1, TILE), lambda p, *_: (0, p)),
+            pl.BlockSpec((1, S), lambda p, *_: (0, 0)),
+            pl.BlockSpec((1, C), lambda p, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((N + 1, C, S, S), lambda p, *_: (0, 0, 0, 0)),
+            pl.BlockSpec((1, S), lambda p, *_: (0, 0)),
+            pl.BlockSpec((1, C), lambda p, *_: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N + 1, C, S, TILE), dtype),
+            pltpu.VMEM((N + 1, C, S, TILE), dtype),
+            pltpu.VMEM((N + 1, TILE), dtype),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N + 1, C, S, S), dtype),
+            jax.ShapeDtypeStruct((1, S), dtype),
+            jax.ShapeDtypeStruct((1, C), dtype),
+        ],
+        interpret=interpret,
+    )
+
+    nodes_j = jnp.asarray(nodes)
+    childs_j = jnp.asarray(childs)
+    root_j = jnp.asarray(root)
+
+    def fn(tip_partials, pmats_pad, g, freqs, props):
+        dpm, dfr, dpr = call(nodes_j, childs_j, root_j, tip_partials,
+                             pmats_pad, g.reshape(1, P),
+                             freqs.reshape(1, S), props.reshape(1, C))
+        return dpm, dfr[0], dpr[0]
+
+    return fn
+
+
+def vmem_estimate_loop(n_nodes: int, n_cat: int, n_states: int,
+                       backward: bool = True) -> int:
+    """Bytes of VMEM the loop kernels need per pattern tile (f32)."""
+    buf = (n_nodes + 1) * n_cat * n_states * TILE * 4
+    pm = 2 * (n_nodes + 1) * n_cat * n_states * n_states * 4
+    return (2 * buf if backward else buf) + pm
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def loop_site_log(topo: Topology, rescale: bool, block: int, interpret: bool,
+                  tip_partials, pmats, freqs, props):
+    """Per-pattern site log-likelihoods [P] via the loop kernel, with an
+    analytic rematerializing backward kernel as custom VJP."""
+    out, _ = _loop_fwd(topo, rescale, block, interpret,
+                       tip_partials, pmats, freqs, props)
+    return out
+
+
+def _loop_fwd(topo, rescale, block, interpret, tip_partials, pmats, freqs,
+              props):
     T, S, P = tip_partials.shape
     C = pmats.shape[1]
     fn = build_loop_forward(topo, C, S, P, rescale=rescale, block=block,
                             interpret=interpret, dtype=tip_partials.dtype)
     site_log = fn(tip_partials, pmats, freqs, props)
+    return site_log, (tip_partials, pmats, freqs, props)
+
+
+def _loop_bwd(topo, rescale, block, interpret, residuals, g):
+    tip_partials, pmats, freqs, props = residuals
+    T, S, P = tip_partials.shape
+    C = pmats.shape[1]
+    bwd = build_loop_backward(topo, C, S, P, rescale=rescale, block=block,
+                              interpret=interpret, dtype=tip_partials.dtype)
+    pmats_pad = jnp.concatenate(
+        [pmats, jnp.zeros((1,) + pmats.shape[1:], pmats.dtype)], axis=0)
+    dpm_pad, dfreqs, dprops = bwd(tip_partials, pmats_pad, g, freqs, props)
+    dtips = jnp.zeros_like(tip_partials)
+    return dtips, dpm_pad[: topo.N], dfreqs, dprops
+
+
+loop_site_log.defvjp(_loop_fwd, _loop_bwd)
+
+
+def loop_tree_log_likelihood(tip_partials, pmats, topo: Topology, freqs,
+                             props, weights, *, rescale: bool = True,
+                             block: int = 4, interpret: bool = False):
+    """(logL, site_log) via the loop kernel, differentiable through the
+    analytic backward kernel."""
+    site_log = loop_site_log(topo, rescale, block, interpret,
+                             tip_partials, pmats, freqs, props)
     return jnp.sum(weights * site_log), site_log
