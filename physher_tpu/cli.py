@@ -46,10 +46,9 @@ def main(argv=None):
         f64 = jax.default_backend() == "cpu"
     jax.config.update("jax_enable_x64", bool(f64))
 
-    with open(args.config) as fh:
-        cfg = json.load(fh)
+    from .config.builder import build_config, load_json, _prune
 
-    from .config.builder import build_config, _prune
+    cfg = load_json(args.config)
 
     if args.dry:
         json.dump(_prune(cfg), sys.stdout, indent=2)

@@ -153,7 +153,7 @@ class Runner:
             if hasattr(obj, "is_time_tree") and obj.topo is tlk.topo:
                 obj.topo = res.topology
                 obj.distances = res.distances
-        self.update_pool({"tree.distances":
+        self.update_pool({tlk.key("distances"):
                           np.nan_to_num(res.distances[: res.topology.N - 1],
                                         nan=0.0)})
         self.results[node.get("id", "topology")] = res
@@ -343,7 +343,7 @@ class Runner:
                 h = handle.heights(p)
                 dist = np.asarray(branch_durations(h, topo))
             else:
-                d = np.asarray(p["tree.distances"])
+                d = np.asarray(p[handle.key("distances")])
                 dist = np.concatenate([d, [np.nan]])
             lines.append(
                 f"tree STATE_{int(s)} = {write_newick(topo, dist)}")
@@ -371,7 +371,7 @@ class Runner:
                 h = tree.heights(params)
                 dist = np.asarray(branch_durations(h, tree.topo))
             else:
-                dist = self.pool.get("tree.distances")
+                dist = self.pool.get(tree.key("distances"))
                 if dist is None:
                     dist = np.asarray(tree.distances)[: tree.topo.N - 1]
                 dist = np.concatenate([np.asarray(dist), [np.nan]])
@@ -726,7 +726,10 @@ class Runner:
         def f(z):
             return log_prob(space.constrain(space.unflatten_unconstrained(z)))
 
-        H = np.asarray(jax.hessian(f)(u))
+        # reverse-over-reverse: jax.hessian is jacfwd(jacrev) and forward
+        # mode is unsupported by the Pallas engine's custom_vjp; jacrev(grad)
+        # works with every engine (reference FD Hessian: src/phyc/hessian.c)
+        H = np.asarray(jax.jacrev(jax.grad(f))(u))
         self.results[node.get("id", "hessian")] = H
         print("Hessian (unconstrained space):", file=self.out)
         print(np.array2string(H, precision=6), file=self.out)

@@ -94,6 +94,38 @@ class Context:
         return os.path.join(self.base_dir, p)
 
 
+def loads_tolerant(text: str):
+    """json.loads tolerating trailing commas before ``]``/``}``.
+
+    The reference's hand-rolled parser accepts them (src/phyc/mjson.c:633
+    skips a comma then a closing bracket without complaint) and its own
+    fixtures rely on it (tests/data/f81.json), so strict parsing would
+    reject configs the reference runs unmodified.
+    """
+    import json as _json
+    import re as _re
+
+    # strip string literals before locating trailing commas, then remove
+    # those commas from the original text by offset
+    out, i, drop = [], 0, []
+    # blank string literals with a non-whitespace filler so in-string
+    # commas/brackets can't match and blanks don't read as whitespace
+    no_str = _re.sub(r'"(?:\\.|[^"\\])*"', lambda m: "0" * len(m.group()), text)
+    for m in _re.finditer(r",(\s*[\]}])", no_str):
+        drop.append(m.start())
+    for d in drop:
+        out.append(text[i:d])
+        i = d + 1
+    out.append(text[i:])
+    return _json.loads("".join(out))
+
+
+def load_json(path: str):
+    """Read a reference-format JSON config file (mjson-compatible)."""
+    with open(path) as fh:
+        return loads_tolerant(fh.read())
+
+
 def _prune(node):
     """Remove ignored/underscored entries (reference: src/physher.c:135-136)."""
     if isinstance(node, dict):
@@ -114,6 +146,9 @@ def _prune(node):
 def _param_value(node, ctx: Context, default=None):
     """Extract a scalar/vector parameter's initial value from JSON."""
     node = ctx.resolve(node)
+    if isinstance(node, ParamSpec):
+        v = node.init
+        return float(v) if np.ndim(v) == 0 else np.asarray(v)
     if isinstance(node, (int, float)):
         return float(node)
     if isinstance(node, list):
@@ -425,29 +460,42 @@ def build_tree(node, ctx: Context):
     td = None
     if dates is not None or time_tree:
         td = TimeTreeData.from_dated_tree(topo, distances, dates)
-    handle = TreeHandle(topo, distances, td, prefix="tree.")
-    ctx.register(node.get("id"), handle)
+    # prefix derives from the JSON id so several trees (partitioned
+    # analyses, reference SitePattern_split use case) coexist in one pytree
+    tid = node.get("id", "tree")
+    transform = str(node.get("transform", "ratio")).lower()
+    handle = TreeHandle(topo, distances, td, prefix=f"{tid}.")
+    handle.transform = transform
+    ctx.register(tid, handle)
     # parameter-name aliases declared on the tree node
     # (reference: tree.c:1183-1199 allowed keys; examples use e.g.
     #  "reparam": "tree.scalers", "ratios": "tree.ratios")
     if td is not None:
-        ratio_specs = ["tree.ratios", "tree.root_height"]
-        for key, specs in (
-            ("reparam", ratio_specs),
-            ("ratios", ["tree.ratios"]),
-            ("root_height", ["tree.root_height"]),
-            ("heights", ratio_specs),
-        ):
+        if transform == "shift":
+            reparam_specs = [handle.key("shifts")]
+            alias_map = (("reparam", reparam_specs),
+                         ("heights", reparam_specs))
+        else:
+            reparam_specs = [handle.key("ratios"), handle.key("root_height")]
+            alias_map = (
+                ("reparam", reparam_specs),
+                ("ratios", [handle.key("ratios")]),
+                ("root_height", [handle.key("root_height")]),
+                ("heights", reparam_specs),
+            )
+        for key, specs in alias_map:
             alias = node.get(key)
             if isinstance(alias, str):
                 ctx.slices[alias] = specs
-        ctx.slices.setdefault("tree.ratios", ["tree.ratios"])
-        ctx.slices.setdefault("tree.root_height", ["tree.root_height"])
+        for specs in alias_map:
+            for s in specs[1]:
+                ctx.slices.setdefault(s, [s])
     else:
         alias = node.get("parameters")
         if isinstance(alias, str):
-            ctx.slices[alias] = ["tree.distances"]
-        ctx.slices.setdefault("tree.distances", ["tree.distances"])
+            ctx.slices[alias] = [handle.key("distances")]
+        ctx.slices.setdefault(handle.key("distances"),
+                              [handle.key("distances")])
     return handle
 
 
@@ -504,9 +552,11 @@ def build_treelikelihood(node, ctx: Context) -> TreeLikelihood:
         include_jacobian=bool(node.get("include_jacobian",
                                        node.get("reparameterized", False))),
         tipstates=bool(node.get("tipstates", False)),
-        prefix="tree.",
+        prefix=handle.prefix,
+        height_transform=getattr(handle, "transform", "ratio"),
     )
-    ctx.param_names.setdefault("tree.distances", "tree.distances")
+    ctx.param_names.setdefault(handle.key("distances"),
+                               handle.key("distances"))
     ctx.register(tid, tlk)
     return tlk
 

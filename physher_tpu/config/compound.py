@@ -81,14 +81,32 @@ def build_distribution(node, ctx: Context):
     # resolve targets
     x = node.get("x", node.get("tree"))
     targets = []
+    x_specs = []
     if x is not None:
         if isinstance(x, str) and x.startswith("&") and x[1:] in ctx.objects \
                 and hasattr(ctx.objects[x[1:]], "is_time_tree"):
             # distribution over a tree's branch lengths
             # (gtr-bayesian.json "tree": "&tree" exponential prior)
-            targets = ["tree.distances"]
+            targets = [ctx.objects[x[1:]].key("distances")]
         else:
-            targets = ctx.resolve_target(x)
+            # inline x definitions declare new parameters/simplexes owned by
+            # this distribution (reference: distmodel.c builds x from JSON;
+            # tests/data/distributions.json "x":{"id":"positive2x",...})
+            from .builder import build_parameter_spec, build_simplex_spec
+
+            xs = x if isinstance(x, list) else [x]
+            for xi in xs:
+                if isinstance(xi, dict):
+                    typ = str(xi.get("type", "parameter")).lower()
+                    if typ == "simplex":
+                        spec = build_simplex_spec(xi, ctx)
+                    else:
+                        spec = build_parameter_spec(xi, ctx)
+                    ctx.extra_specs.append(spec)
+                    x_specs.append(spec)
+                    targets.append(spec.name)
+                else:
+                    targets.extend(ctx.resolve_target(xi))
 
     if dist == "ctmcscale":
         tree_ref = node.get("tree")
@@ -113,6 +131,12 @@ def build_distribution(node, ctx: Context):
             lk = keymap.get(k.lower())
             if lk is None:
                 continue
+            # register inline hyper-parameter ids so later '&id' references
+            # resolve (distributions.json "normal2" reuses "&normal.mu")
+            if isinstance(sub, dict) and sub.get("id"):
+                from .builder import build_parameter_spec
+
+                build_parameter_spec(sub, ctx)
             hyper[lk] = np.asarray(_param_value(sub, ctx))
     elif isinstance(pnode, list):
         # positional (dirichlet concentrations, gtr-bayesian.json style)
@@ -122,6 +146,8 @@ def build_distribution(node, ctx: Context):
         hyper["alpha"] = 1.0
 
     prior = PriorModel(name, [(t, None) for t in targets], hyper)
+    if x_specs:
+        prior.extra_param_specs = list(x_specs)
     ctx.register(did, prior)
     return prior
 
@@ -166,10 +192,12 @@ def build_coalescent(node, ctx: Context):
         reg(rate, coal.key("rate"))
     elif model in ("skyride",):
         thetas = pnode.get("thetas") if isinstance(pnode, dict) else pnode
+        delta = space == "delta"
+        n_default = topo.I + 2 if delta else topo.I
         init = (np.asarray(_param_value(thetas, ctx)) if thetas is not None
-                else np.ones(topo.I))
+                else np.ones(n_default))
         coal = SkyrideCoalescent(topo, prefix, thetas_init=init,
-                                 log_space=log_space)
+                                 log_space=log_space, delta=delta)
         reg(thetas, coal.key("thetas"))
     elif model in ("skygrid", "grid"):
         thetas = pnode.get("thetas") if isinstance(pnode, dict) else pnode

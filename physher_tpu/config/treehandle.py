@@ -14,7 +14,9 @@ import jax.numpy as jnp
 
 from ..trees.topology import Topology
 from ..trees.timetree import TimeTreeData
-from ..trees.heights import heights_from_ratios, branch_durations
+from ..trees.heights import (
+    heights_from_ratios, heights_from_shifts, branch_durations,
+)
 
 
 class TreeHandle:
@@ -24,6 +26,9 @@ class TreeHandle:
         self.distances = distances
         self.td = td
         self.prefix = prefix
+        # height reparameterization (reference: treetransform.h:17-22);
+        # build_tree overrides from the JSON "transform" key
+        self.transform = "ratio"
 
     @property
     def is_time_tree(self):
@@ -34,6 +39,9 @@ class TreeHandle:
 
     def heights(self, params) -> jnp.ndarray:
         td = self.td
+        if self.transform == "shift":
+            return heights_from_shifts(params[self.key("shifts")], self.topo,
+                                       td.tip_heights)
         ratios = jnp.concatenate([
             jnp.atleast_1d(params[self.key("ratios")]),
             jnp.atleast_1d(params[self.key("root_height")]),

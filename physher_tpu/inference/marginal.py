@@ -216,7 +216,9 @@ def laplace_marginal(log_prob, space: ParamSpace, map_params,
         up = space.unflatten_unconstrained(z)
         return log_prob(space.constrain(up)) + space.log_jacobian(up)
 
-    H = jax.hessian(f)(u)
+    # reverse-over-reverse Hessian: works with custom_vjp likelihood engines
+    # (jax.hessian = jacfwd(jacrev) would require forward-mode support)
+    H = jax.jacrev(jax.grad(f))(u)
     d = u.shape[0]
     sign, logdet = jnp.linalg.slogdet(-H)
     return float(f(u) + 0.5 * d * math.log(2 * math.pi) - 0.5 * logdet)

@@ -170,20 +170,53 @@ class ExponentialCoalescent(CoalescentModel):
 
 class SkyrideCoalescent(CoalescentModel):
     """One theta per inter-coalescent interval (reference:
-    demographicmodels.c new_SkyrideCoalescent; Minin et al skyride)."""
+    demographicmodels.c new_SkyrideCoalescent; Minin et al skyride).
+
+    Parameterizations (reference: demographicmodels.h:40-44):
+    - theta / logtheta — direct (possibly logged) per-interval population
+      sizes;
+    - delta — incremental: v[0] = theta_0 (real space), then
+      log theta_i = log theta_{i-1} + zeta*(zgam/tau)*v[i] with zeta=0.015
+      and (zgam, tau) appended as the last two entries of the parameter
+      vector (reference: _coalescent_skyride_calculate_deltas,
+      demographicmodels.c:1337-1373; note the reference's JSON dispatch at
+      demographicmodels.c:506-512 inverts its strcasecmp tests, making
+      "delta" unreachable from JSON there — we implement the intended
+      semantics).
+    """
+
+    ZETA = 0.015  # fixed smoothing constant (demographicmodels.c:1344)
 
     def __init__(self, topo, prefix="coalescent.", thetas_init=None,
-                 log_space=True):
+                 log_space=True, delta: bool = False):
         super().__init__(topo, prefix, log_space)
-        n = topo.I
+        self.delta = bool(delta)
+        n = topo.I + 2 if self.delta else topo.I
         self.thetas_init = (np.zeros(n) if thetas_init is None
                             else np.asarray(thetas_init))
+        if self.delta and len(self.thetas_init) != n:
+            raise ValueError(
+                f"delta parameterization needs {n} values "
+                f"(theta0, {topo.I - 1} increments, zgam, tau)")
 
     def param_specs(self):
+        if self.delta:
+            return [ParamSpec.vector(self.key("thetas"), self.thetas_init)]
         if self.log_space:
             return [ParamSpec.vector(self.key("thetas"), self.thetas_init)]
         return [ParamSpec.vector(self.key("thetas"), self.thetas_init,
                                  lower=0.0)]
+
+    def _thetas(self, params):
+        if not self.delta:
+            return super()._thetas(params)
+        v = params[self.key("thetas")]
+        zgam, tau = v[-2], v[-1]
+        gam = zgam / tau
+        incr = self.ZETA * gam * v[1:-2]
+        log_thetas = jnp.log(v[0]) + jnp.concatenate(
+            [jnp.zeros(1, v.dtype), jnp.cumsum(incr)])
+        return jnp.exp(log_thetas)
 
     def log_prob_from_heights(self, heights, params):
         thetas = self._thetas(params)
@@ -209,6 +242,7 @@ class SkylineCoalescent(SkyrideCoalescent):
             raise ValueError("skyline group sizes must sum to #coalescences")
         n = len(self.groups)
         CoalescentModel.__init__(self, topo, prefix, log_space)
+        self.delta = False
         self.thetas_init = (np.zeros(n) if thetas_init is None
                             else np.asarray(thetas_init))
         # map coalescent-interval index -> group index

@@ -217,6 +217,9 @@ class PriorModel:
         for hname, init in self.hyper_free.items():
             specs.append(ParamSpec.scalar(self.key(hname), init, lower=0.0
                          if hname not in ("mean", "mu", "location") else -np.inf))
+        # specs for x-parameters defined inline by this distribution's config
+        # node (set by config/compound.py build_distribution)
+        specs += list(getattr(self, "extra_param_specs", []))
         return specs
 
     def param_space(self):

@@ -21,7 +21,8 @@ from ..ops.pruning import tree_log_likelihood, pad_patterns
 from ..trees.topology import Topology
 from ..trees.timetree import TimeTreeData
 from ..trees.heights import (
-    heights_from_ratios, ratio_log_jacobian, branch_durations,
+    heights_from_ratios, heights_from_shifts, shifts_from_heights,
+    ratio_log_jacobian, branch_durations,
 )
 from .parameters import ParamSpec, ParamSpace
 from .clock import BranchModel
@@ -47,7 +48,8 @@ class TreeLikelihood:
                  include_jacobian: bool = False, tipstates: bool = False,
                  use_ambiguities: bool = True, rescale: bool | None = None,
                  pattern_pad_multiple: int = 1, prefix: str = "tree.",
-                 dtype=None, engine: str = "auto"):
+                 dtype=None, engine: str = "auto",
+                 height_transform: str = "ratio"):
         if site_model is None:
             site_model = ConstantSiteModel()
         self.sp = site_pattern
@@ -59,6 +61,18 @@ class TreeLikelihood:
         self.include_jacobian = include_jacobian
         self.prefix = prefix
         self.engine = engine
+        # RATIO / RATIO_NAIVE / PROPORTION share one transform in the
+        # reference (treetransform.c new_HeightTreeTransform assigns the same
+        # `update`; only the gradient algorithm differs, which autodiff
+        # subsumes); SHIFT is a distinct parameterization with |J| = 1
+        # (reference: src/phyc/treetransform.h:17-22)
+        ht = str(height_transform or "ratio").lower()
+        if ht in ("ratio", "ratio_naive", "proportion", ""):
+            self.height_transform = "ratio"
+        elif ht == "shift":
+            self.height_transform = "shift"
+        else:
+            raise ValueError(f"unknown height transform {height_transform!r}")
         self.dtype = dtype or jnp.zeros(0).dtype
         if rescale is None:
             # f32 partials underflow on realistic trees; rescaling is exact
@@ -95,11 +109,17 @@ class TreeLikelihood:
         if self.time_data is not None:
             td = self.time_data
             I = self.topo.I
-            specs.append(ParamSpec.vector(
-                self.key("ratios"), td.ratios0[: I - 1], lower=0.0, upper=1.0))
-            specs.append(ParamSpec.scalar(
-                self.key("root_height"), td.ratios0[I - 1],
-                lower=float(td.lowers[self.topo.root])))
+            if self.height_transform == "shift":
+                shifts0 = shifts_from_heights(td.node_heights0, self.topo)
+                specs.append(ParamSpec.vector(
+                    self.key("shifts"), np.maximum(shifts0, 1e-6), lower=0.0))
+            else:
+                specs.append(ParamSpec.vector(
+                    self.key("ratios"), td.ratios0[: I - 1],
+                    lower=0.0, upper=1.0))
+                specs.append(ParamSpec.scalar(
+                    self.key("root_height"), td.ratios0[I - 1],
+                    lower=float(td.lowers[self.topo.root])))
         else:
             specs.append(ParamSpec.vector(
                 self.key("distances"), self.distances_init, lower=0.0))
@@ -116,6 +136,9 @@ class TreeLikelihood:
 
     def node_heights(self, params) -> jnp.ndarray:
         td = self.time_data
+        if self.height_transform == "shift":
+            return heights_from_shifts(params[self.key("shifts")], self.topo,
+                                       td.tip_heights)
         ratios = jnp.concatenate([
             jnp.atleast_1d(params[self.key("ratios")]),
             jnp.atleast_1d(params[self.key("root_height")]),
@@ -183,7 +206,8 @@ class TreeLikelihood:
         # counts opt in with engine="pallas-loop"
         if S != 4:
             return False
-        return vmem_estimate_loop(self.topo.N, C, S, backward=True) < 10 << 20
+        return vmem_estimate_loop(self.topo.N, C, S, backward=True,
+                                  n_tips=self.topo.T) < 10 << 20
 
     def _pallas_fits(self) -> bool:
         import os
@@ -221,6 +245,10 @@ class TreeLikelihood:
         return logL
 
     def log_jacobian(self, params) -> jnp.ndarray:
+        if self.height_transform == "shift":
+            # |d heights / d shifts| = 1 (reference:
+            # treetransform.c _node_transform_log_jacobian_zero)
+            return jnp.zeros((), self.dtype)
         h = self.node_heights(params)
         return ratio_log_jacobian(h, self.topo, self.time_data.lowers)
 

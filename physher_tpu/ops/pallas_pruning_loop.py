@@ -362,11 +362,15 @@ def build_loop_backward(topo: Topology, C: int, S: int, P: int, *,
 
 
 def vmem_estimate_loop(n_nodes: int, n_cat: int, n_states: int,
-                       backward: bool = True) -> int:
+                       backward: bool = True, n_tips: int = None) -> int:
     """Bytes of VMEM the loop kernels need per pattern tile (f32)."""
+    if n_tips is None:
+        n_tips = (n_nodes + 1) // 2
     buf = (n_nodes + 1) * n_cat * n_states * TILE * 4
     pm = 2 * (n_nodes + 1) * n_cat * n_states * n_states * 4
-    return (2 * buf if backward else buf) + pm
+    tips = n_tips * n_states * TILE * 4
+    minv = (n_nodes + 1) * TILE * 4
+    return (2 * buf + minv if backward else buf) + pm + tips
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
@@ -409,7 +413,13 @@ def loop_tree_log_likelihood(tip_partials, pmats, topo: Topology, freqs,
                              props, weights, *, rescale: bool = True,
                              block: int = 4, interpret: bool = False):
     """(logL, site_log) via the loop kernel, differentiable through the
-    analytic backward kernel."""
+    analytic backward kernel.
+
+    Note: the backward kernel does NOT propagate cotangents to
+    ``tip_partials`` (tips are constants in every framework use); the
+    explicit stop_gradient makes that contract visible to direct callers.
+    """
+    tip_partials = jax.lax.stop_gradient(tip_partials)
     site_log = loop_site_log(topo, rescale, block, interpret,
                              tip_partials, pmats, freqs, props)
     return jnp.sum(weights * site_log), site_log

@@ -57,6 +57,29 @@ def test_skyride(tree):
         np.testing.assert_allclose(float(gh[nid]), fd, rtol=1e-5, atol=1e-7)
 
 
+def test_skyride_delta_parameterization(tree):
+    """Delta skyride: v = (theta0, increments..., zgam, tau) maps to
+    log theta_i = log theta_{i-1} + zeta*(zgam/tau)*v_i, zeta=0.015
+    (reference: demographicmodels.c:1337-1373)."""
+    topo, heights = tree
+    theta0, zgam, tau = 3.0, 2.0, 0.5
+    incr = np.array([1.5, -0.75])
+    v = np.concatenate([[theta0], incr, [zgam, tau]])
+    coal = SkyrideCoalescent(topo, thetas_init=v, delta=True)
+    p = coal.param_space().init_params()
+    logP = float(coal.log_prob_from_heights(heights, p))
+    # expand the deltas by hand and score with the plain skyride
+    gam = zgam / tau
+    log_th = np.log(theta0) + np.concatenate([[0.0],
+                                              np.cumsum(0.015 * gam * incr)])
+    ref = SkyrideCoalescent(topo, thetas_init=log_th, log_space=True)
+    expected = float(ref.log_prob_from_heights(
+        heights, ref.param_space().init_params()))
+    np.testing.assert_allclose(logP, expected, rtol=1e-12)
+    g = jax.grad(lambda pp: coal.log_prob_from_heights(heights, pp))(p)
+    assert np.all(np.isfinite(np.asarray(g["coalescent.thetas"])))
+
+
 def test_skygrid(tree):
     topo, heights = tree
     coal = SkygridCoalescent(topo, grid=5, cutoff=10.0,
