@@ -193,6 +193,9 @@ class Runner:
         res = sampler.run(self.next_key(), params, n_iter=length,
                           every=every)
         self.results[node.get("id", "mcmc")] = res
+        if getattr(res, "interrupted", False):
+            print(f"MCMC interrupted: finalizing logs with "
+                  f"{len(res.samples_u)} samples", file=self.out)
         self._write_mcmc_logs(node, res, space, every)
         # leave the pool at the last sample
         last = res.params_at(-1)
@@ -543,12 +546,29 @@ class Runner:
         return out
 
     def action_laplace(self, node):
+        """Laplace marginal likelihood. "distribution" selects the envelope
+        family (reference: src/phyc/laplace.c:965-1050 dispatch —
+        gamma/lognormal/beta/betaprime per-parameter fits or the
+        multivariate-normal default)."""
         from ..inference import marginal as marg
 
         model = self.ctx.resolve(node.get("model"))
         space = model.param_space()
         params = self.params_for(space)
-        val = marg.laplace_marginal(self.model_logprob(model), space, params)
+        dist = node.get("distribution")
+        if isinstance(dist, dict):
+            dist = dist.get("distribution")
+        dist = str(dist or "multivariatenormal").lower()
+        if dist in ("multivariatenormal", "normal", "mvn"):
+            val = marg.laplace_marginal(self.model_logprob(model), space,
+                                        params)
+        else:
+            names = None
+            if node.get("x") is not None:
+                names = set(self.ctx.resolve_target(node["x"]))
+            val = marg.laplace_marginal_fitted(
+                self.model_logprob(model), space, params, family=dist,
+                names=names)
         print(f"Laplace log marginal likelihood: {val:.6f}", file=self.out)
         self.results[node.get("id", "laplace")] = val
         return val

@@ -519,7 +519,38 @@ def build_branchmodel(node, ctx: Context, N: int):
             cmap = np.asarray(node["map"], dtype=np.int32)
         bm = DiscreteClock(N, cmap, prefix)
     elif model == "relaxed":
-        bm = RelaxedClock(N, prefix)
+        # "distribution" selects the reference's discretized relaxed-clock
+        # families (branchmodel.h:33); without one, free per-branch rates
+        dist = node.get("distribution")
+        if dist:
+            from ..models.clock import DistributionRelaxedClock
+
+            pnode = node.get("parameters", {})
+            kw = {}
+            if isinstance(pnode, dict):
+                for jk, attr in (("logmean", "logmean_init"),
+                                 ("mean", "logmean_init"),
+                                 ("logsigma", "logsigma_init"),
+                                 ("sigma", "logsigma_init"),
+                                 ("lambda", "lambda_init"),
+                                 ("rate", "lambda_init"),
+                                 ("center", "center_init")):
+                    if jk in pnode:
+                        kw[attr] = float(_param_value(pnode[jk], ctx))
+                        sub = pnode[jk]
+                        if isinstance(sub, dict) and sub.get("id"):
+                            ctx.param_names[sub["id"]] = f"{prefix}" + (
+                                "logmean" if attr == "logmean_init" else
+                                "logsigma" if attr == "logsigma_init" else
+                                "lambda" if attr == "lambda_init" else
+                                "center")
+            if "categories" in node:
+                kw["n_cats"] = int(node["categories"])
+            if "map" in node:
+                kw["assignment"] = np.asarray(node["map"], dtype=np.int32)
+            bm = DistributionRelaxedClock(N, dist, prefix, **kw)
+        else:
+            bm = RelaxedClock(N, prefix)
     else:
         raise ValueError(f"unknown branch model {model!r}")
     ctx.register(mid, bm)

@@ -224,6 +224,98 @@ def laplace_marginal(log_prob, space: ParamSpace, map_params,
     return float(f(u) + 0.5 * d * math.log(2 * math.pi) - 0.5 * logdet)
 
 
+def laplace_marginal_fitted(log_prob, space: ParamSpace, map_params,
+                            family: str = "gamma", names=None):
+    """Laplace marginal likelihood with per-parameter univariate envelopes.
+
+    Mirrors the reference's non-Gaussian Laplace variants
+    (src/phyc/laplace.c:189-330 gamma, 561-700 lognormal, 81-133 beta,
+    853-918 betaprime): each selected parameter gets a density q fitted so
+    that its mode and curvature at the MAP match logP, and
+
+        log Z ~= logP(MAP) - sum_i log q_i(m_i).
+
+    The reference refines hard cases (tiny branch lengths) with a Brent
+    least-squares refit over 10 probe points; here those cases use the same
+    closed-form fallbacks it starts from (exponential-shape envelopes).
+
+    ``names``: parameter names to fit (default: every free non-simplex
+    spec). The curvature is the diagonal of the constrained-space Hessian,
+    exactly the reference's per-Parameter ``d2logP``.
+    """
+    from ..models.distributions import (
+        gamma_logpdf, lognormal_logpdf, beta_logpdf, betaprime_logpdf,
+    )
+
+    specs = [s for s in space.free_specs() if s.transform != "simplex"
+             and (names is None or s.name in names)]
+    sizes = [int(np.prod(s.init.shape)) if s.init.shape else 1 for s in specs]
+
+    def to_vec(params):
+        return jnp.concatenate([jnp.ravel(jnp.asarray(params[s.name]))
+                                for s in specs])
+
+    def f(vec):
+        p = dict(map_params)
+        i = 0
+        for s, n in zip(specs, sizes):
+            block = vec[i:i + n]
+            p[s.name] = block.reshape(jnp.shape(map_params[s.name]))
+            i += n
+        return log_prob(p)
+
+    m = to_vec(map_params)
+    logp0 = f(m)
+    d1 = jax.grad(f)(m)
+    d2 = jnp.diagonal(jax.jacrev(jax.grad(f))(m))
+
+    if family == "gamma":
+        # rate = -f''(m)*m, shape = rate*m + 1 (laplace.c:189-192)
+        rate = -d2 * m
+        shape = rate * m + 1.0
+        bad = (m < 1e-6) | (d2 >= 0)
+        rate = jnp.where(bad, jnp.abs(d1), rate)
+        shape = jnp.where(bad, 1.0, shape)
+        corr = gamma_logpdf(m, shape=shape, rate=rate)
+    elif family == "lognormal":
+        # sigma = sqrt(-1/(f''(m) m^2)), mu = log m + sigma^2 (laplace.c:561)
+        var = -1.0 / (d2 * m * m)
+        mu = jnp.log(m) + var
+        bad = (m < 1e-6) | (d2 >= 0) | (mu > 5.0)
+        # gamma fallback exactly as the reference (laplace.c:584-588)
+        rate = jnp.where(bad, -d2 * m, 1.0)
+        shape = rate * m + 1.0
+        bad2 = bad & ((m < 1e-6) | (d2 >= 0))
+        rate = jnp.where(bad2, jnp.abs(d1), rate)
+        shape = jnp.where(bad2, 1.0, shape)
+        corr = jnp.where(
+            bad, gamma_logpdf(m, shape=shape, rate=rate),
+            lognormal_logpdf(m, mu=mu, sigma=jnp.sqrt(jnp.abs(var))))
+    elif family == "beta":
+        # mode+curvature matched Beta: mode (alpha-1)/(alpha+beta-2) = m and
+        # f''(m) = -(alpha-1)/m^2 - (beta-1)/(1-m)^2 solve to the closed form
+        # below. (The reference's algebra at laplace.c:81-111 matches the
+        # mode but not the curvature — for an exact unnormalized Beta(3,4)
+        # it returns (11,16); we implement the intended mode+curvature
+        # match, which is exact in that case.)
+        beta = 1.0 - d2 * m * (1.0 - m) ** 2
+        alpha = 1.0 - d2 * m * m * (1.0 - m)
+        corr = beta_logpdf(m, alpha=alpha, beta=beta)
+    elif family == "betaprime":
+        # alpha = 1 - f''(m) m^2 (m+1), beta = -f''(m) m (m+1) - 1
+        # (laplace.c:853-856)
+        alpha = 1.0 - d2 * m * m * (m + 1.0)
+        beta = -d2 * m * (m + 1.0) - 1.0
+        bad = beta < 0
+        beta = jnp.where(bad, jnp.abs(d1) - 1.0, beta)
+        alpha = jnp.where(bad, 1.0, alpha)
+        corr = betaprime_logpdf(m, alpha=alpha, beta=beta)
+    else:
+        raise ValueError(f"unknown laplace family {family!r}")
+
+    return float(logp0 - jnp.sum(corr))
+
+
 def nested_sampling(key, space: ParamSpace, log_like, sample_prior,
                     *, n_live=100, max_iter=10000, tol=1e-4, mcmc_steps=20,
                     step=0.2):

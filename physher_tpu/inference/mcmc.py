@@ -39,6 +39,9 @@ class MCMCResult:
     acceptance: np.ndarray       # [n_blocks] final acceptance rates
     step_sizes: np.ndarray
     space: ParamSpace = None
+    # True when the run was cut short by SIGINT between chunks; samples hold
+    # what was collected so far (reference: mcmc.c:21-28 clean finalize)
+    interrupted: bool = False
 
     def params_at(self, i, chain=0):
         u = self.space.unflatten_unconstrained(jnp.asarray(
@@ -274,34 +277,44 @@ class MCMC:
         si = 0
         cum_acc = np.zeros(len(self.blocks))
         cum_tries = np.zeros(len(self.blocks))
-        for ci in range(total_chunks):
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, n_chains * every).reshape(
-                n_chains, every, 2)
-            states = run_chunk(states, keys, sigmas_np, temps)
-            if ci >= burn_chunks:
-                samples[si] = np.asarray(states[0])
-                lps[si] = np.asarray(states[1])
-                lls[si] = np.asarray(states[2])
-                si += 1
-            if adapt and (ci + 1) % adapt_every_chunks == 0:
-                acc = np.asarray(states[3]).sum(0)
-                tries = np.asarray(states[4]).sum(0)
-                cum_acc += acc
-                cum_tries += tries
-                rate = np.where(tries > 0, acc / np.maximum(tries, 1), 0.24)
-                factor = np.exp(np.clip(rate - 0.24, -0.5, 0.5))
-                sigmas_np = sigmas_np * jnp.asarray(factor)
-                states = (states[0], states[1], states[2],
-                          jnp.zeros_like(states[3]), jnp.zeros_like(states[4]))
+        interrupted = False
+        # SIGINT between chunks finalizes cleanly with the samples collected
+        # so far (reference: mcmc.c:21-28 SIGINT flag + clean logger close)
+        try:
+            for ci in range(total_chunks):
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, n_chains * every).reshape(
+                    n_chains, every, 2)
+                states = run_chunk(states, keys, sigmas_np, temps)
+                if ci >= burn_chunks:
+                    samples[si] = np.asarray(states[0])
+                    lps[si] = np.asarray(states[1])
+                    lls[si] = np.asarray(states[2])
+                    si += 1
+                if adapt and (ci + 1) % adapt_every_chunks == 0:
+                    acc = np.asarray(states[3]).sum(0)
+                    tries = np.asarray(states[4]).sum(0)
+                    cum_acc += acc
+                    cum_tries += tries
+                    rate = np.where(tries > 0, acc / np.maximum(tries, 1),
+                                    0.24)
+                    factor = np.exp(np.clip(rate - 0.24, -0.5, 0.5))
+                    sigmas_np = sigmas_np * jnp.asarray(factor)
+                    states = (states[0], states[1], states[2],
+                              jnp.zeros_like(states[3]),
+                              jnp.zeros_like(states[4]))
+        except KeyboardInterrupt:
+            interrupted = True
 
         cum_acc += np.asarray(states[3]).sum(0)
         cum_tries += np.asarray(states[4]).sum(0)
-        return MCMCResult(
-            samples, lps, lls,
+        res = MCMCResult(
+            samples[:si], lps[:si], lls[:si],
             np.where(cum_tries > 0, cum_acc / np.maximum(cum_tries, 1),
                      np.nan),
             np.asarray(sigmas_np), space)
+        res.interrupted = interrupted
+        return res
 
 class MixedMCMC:
     """MH over a continuous ParamSpace PLUS a binary indicator vector.

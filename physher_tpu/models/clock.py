@@ -132,6 +132,81 @@ class RelaxedClock(BranchModel):
         return jnp.concatenate([r, jnp.zeros(1, r.dtype)])
 
 
+class DistributionRelaxedClock(BranchModel):
+    """Discretized-distribution relaxed clock (reference: branchmodel.c
+    new_RelaxedClock + _relaxedclock_calculate_rates, branchmodel.h:33
+    RELAXED_LOGNORMAL / RELAXED_EXPONENTIAL / RELAXED_DISCRETE).
+
+    The distribution is discretized into ``n_cats`` quantile-midpoint rates
+    (z_i = (i+0.5)/n; reference: lognormal.c:48 lognormal_discretize,
+    exponential.c:55 exponential_discretize) and a per-node assignment map
+    selects which bin each branch uses (the reference samples the map with
+    MCMC exchange operators; here it is a static int array re-instantiable
+    per proposal, matching DiscreteClock's map mechanics).
+
+    Free parameters: the distribution's hyper-parameters
+    (lognormal: ``logmean``, ``logsigma``; exponential: ``lambda``;
+    discrete: ``center`` with log-spaced bins center/10 .. center*10,
+    reference branchmodel.c:1248-1258).
+    """
+
+    def __init__(self, N, distribution="lognormal", prefix="",
+                 assignment=None, n_cats=None, logmean_init=-7.0,
+                 logsigma_init=0.5, lambda_init=1e3, center_init=1e-3):
+        super().__init__(N, prefix)
+        self.distribution = str(distribution).lower()
+        if self.distribution not in ("lognormal", "exponential", "discrete"):
+            raise ValueError(f"unknown relaxed distribution {distribution!r}")
+        self.n_cats = int(n_cats or N)
+        if assignment is None:
+            assignment = np.arange(N) % self.n_cats
+        self.assignment = np.asarray(assignment, dtype=np.int32)
+        if self.assignment.shape != (N,):
+            raise ValueError("assignment must have one entry per node")
+        self.logmean_init = logmean_init
+        self.logsigma_init = logsigma_init
+        self.lambda_init = lambda_init
+        self.center_init = center_init
+
+    def param_specs(self):
+        if self.distribution == "lognormal":
+            return [ParamSpec.scalar(self.key("logmean"), self.logmean_init),
+                    ParamSpec.scalar(self.key("logsigma"),
+                                     self.logsigma_init, lower=0.0)]
+        if self.distribution == "exponential":
+            return [ParamSpec.scalar(self.key("lambda"), self.lambda_init,
+                                     lower=0.0)]
+        return [ParamSpec.scalar(self.key("center"), self.center_init,
+                                 lower=0.0)]
+
+    def bin_rates(self, params) -> jnp.ndarray:
+        """The n_cats quantile-midpoint rates."""
+        from jax.scipy.special import ndtri
+
+        n = self.n_cats
+        z = (jnp.arange(n) + 0.5) / n
+        if self.distribution == "lognormal":
+            mu = params[self.key("logmean")]
+            sig = params[self.key("logsigma")]
+            return jnp.exp(mu + sig * ndtri(z))
+        if self.distribution == "exponential":
+            lam = params[self.key("lambda")]
+            return -jnp.log1p(-z) / lam
+        center = params[self.key("center")]
+        # log-spaced bins over [center/10, center*10] split at the center
+        # (reference: branchmodel.c:1248-1258, magnitude 10)
+        n_lower = n // 2
+        n_upper = n - n_lower
+        lo = jnp.exp(jnp.linspace(jnp.log(center) - jnp.log(10.0),
+                                  jnp.log(center), n_lower, endpoint=False))
+        hi = jnp.exp(jnp.linspace(jnp.log(center),
+                                  jnp.log(center) + jnp.log(10.0), n_upper))
+        return jnp.concatenate([lo, hi])
+
+    def rates(self, params):
+        return self.bin_rates(params)[self.assignment]
+
+
 def ancestor_chains(topo) -> np.ndarray:
     """[N, D] ancestor chain per node: row = (self, parent, ..., root),
     right-padded with the root id. Static topology bookkeeping for the
