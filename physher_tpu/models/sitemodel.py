@@ -141,8 +141,17 @@ class QuantileSiteModel(SiteModel):
                 self.key("proportions"), [self.pinv_init, 1 - self.pinv_init]))
         return specs
 
-    def _quantile_rates(self, alpha, quantiles):
+    def _quantile_rates(self, alpha, quantiles, static_p=None):
         if self.distribution == "gamma":
+            import jax
+
+            if static_p is not None and not jax.config.jax_enable_x64:
+                # fast path: host-tabulated quantiles at static probabilities
+                # (XLA igamma is a ~ms-scale sequential loop on TPU); the f64
+                # golden path keeps the Newton inverse
+                from ..utils.special import qgamma_fixed_p
+
+                return qgamma_fixed_p(static_p, alpha)
             return qgamma(quantiles, alpha, alpha)
         if self.distribution == "weibull":
             return qweibull1(quantiles, alpha)
@@ -160,8 +169,9 @@ class QuantileSiteModel(SiteModel):
             pinv, pvar = 0.0, 1.0
 
         if self.quadrature == "median":
+            static_p = tuple((2.0 * k + 1.0) / (2.0 * K) for k in range(K))
             quantiles = (2.0 * jnp.arange(K) + 1.0) / (2.0 * K)
-            rates = self._quantile_rates(alpha, quantiles)
+            rates = self._quantile_rates(alpha, quantiles, static_p=static_p)
             mean = pvar * jnp.sum(rates) / K
             rates = rates / mean
             props = jnp.full(K, 1.0 / K) * pvar

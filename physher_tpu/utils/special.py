@@ -74,6 +74,77 @@ def qgamma(p, shape, rate):
     return gammaincinv(shape, p) / rate
 
 
+# -- fast fixed-probability gamma quantiles (TPU hot path) -------------------
+#
+# XLA's ``igamma`` lowers to a long sequential loop on TPU (~1.3 ms per call
+# measured on v5e), so the 60-step Newton inverse above costs ~5 ms — it was
+# the single largest term in the GTR+Gamma4 likelihood step. Site models only
+# ever need quantiles at a STATIC probability vector with a traced shape
+# parameter, so we precompute log q(alpha) := log gammaincinv(alpha, p) on a
+# dense log-alpha grid once on the host (f64 Newton) and interpolate with a
+# Catmull-Rom cubic on device: ~20 vector FLOPs, C1-differentiable, max
+# relative error < 1e-7 over alpha in [1e-3, 1e3]. The f64 golden path keeps
+# the Newton inverse (see models/sitemodel.py).
+
+_QGAMMA_TABLE_CACHE: dict = {}
+_QGAMMA_LO, _QGAMMA_HI, _QGAMMA_N = 1e-3, 1e3, 16384
+
+
+def _qgamma_table(p_tuple):
+    import numpy as np
+
+    key = p_tuple
+    hit = _QGAMMA_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    u = np.linspace(np.log(_QGAMMA_LO), np.log(_QGAMMA_HI), _QGAMMA_N)
+    try:
+        from scipy.special import gammaincinv as sp_gammaincinv
+        q = np.stack([sp_gammaincinv(np.exp(u), p) for p in p_tuple], 0)
+    except ImportError:  # pragma: no cover - scipy is baked into the image
+        import jax
+
+        with jax.experimental.enable_x64():
+            q = np.stack([
+                np.asarray(_gammaincinv_raw(jnp.exp(jnp.asarray(u)),
+                                            jnp.float64(p)))
+                for p in p_tuple], 0)
+    with np.errstate(divide="ignore"):
+        # tiny-alpha quantiles underflow f64 to 0; clamp at the f32 exp
+        # underflow bound (those rates are exactly 0 in the f32 path anyway)
+        logq = np.maximum(np.log(q), -87.0)
+    tab = (float(u[0]), float(u[1] - u[0]), jnp.asarray(logq))
+    _QGAMMA_TABLE_CACHE[key] = tab
+    return tab
+
+
+def qgamma_fixed_p(p_tuple: tuple, alpha):
+    """Gamma(alpha, rate=alpha) quantiles at static probabilities ``p_tuple``.
+
+    Catmull-Rom interpolation of host-precomputed log-quantiles in log-alpha;
+    differentiable w.r.t. ``alpha`` through the interpolant. Outside
+    [1e-3, 1e3] the shape is clamped (the reference bounds the shape
+    parameter comparably, src/phyc/sitemodel.c factory bounds).
+    """
+    u0, du, logq = _qgamma_table(tuple(float(x) for x in p_tuple))
+    logq = logq.astype(jnp.result_type(alpha, jnp.zeros(0).dtype))
+    n = logq.shape[1]
+    u = jnp.log(jnp.clip(alpha, _QGAMMA_LO, _QGAMMA_HI))
+    t = (u - u0) / du
+    i = jnp.clip(jnp.floor(t).astype(jnp.int32), 1, n - 3)
+    f = t - i
+    y0 = logq[:, i - 1]
+    y1 = logq[:, i]
+    y2 = logq[:, i + 1]
+    y3 = logq[:, i + 2]
+    a0 = y1
+    a1 = 0.5 * (y2 - y0)
+    a2 = y0 - 2.5 * y1 + 2.0 * y2 - 0.5 * y3
+    a3 = 0.5 * (y3 - y0) + 1.5 * (y1 - y2)
+    logv = a0 + f * (a1 + f * (a2 + f * a3))
+    return jnp.exp(logv) / alpha
+
+
 def qweibull1(p, shape):
     """Weibull quantile with scale lambda=1 (reference:
     src/phyc/sitemodel.c icdf_weibull_1)."""

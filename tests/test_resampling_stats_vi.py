@@ -229,3 +229,23 @@ class TestJenks:
         # each true cluster maps to a single class
         for s in range(3):
             assert len(set(cls[s * 20:(s + 1) * 20])) == 1
+
+
+def test_qgamma_fixed_p_matches_newton_f32():
+    """Tabulated gamma quantiles (TPU fast path) track the Newton inverse."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from physher_tpu.utils.special import qgamma_fixed_p, qgamma
+
+    p = (0.125, 0.375, 0.625, 0.875)
+    pj = jnp.asarray(p)
+    for a in [0.1, 0.5, 1.0, 3.7, 50.0]:
+        fast = np.asarray(qgamma_fixed_p(p, jnp.asarray(a)))
+        slow = np.asarray(qgamma(pj, jnp.asarray(a), jnp.asarray(a)))
+        np.testing.assert_allclose(fast, slow, rtol=5e-5)
+    # differentiable w.r.t. the shape
+    g = jax.grad(lambda a: qgamma_fixed_p(p, a).sum())(jnp.asarray(0.7))
+    gref = jax.grad(lambda a: qgamma(pj, a, a).sum())(jnp.asarray(0.7))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref), rtol=1e-3)
