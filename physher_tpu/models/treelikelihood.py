@@ -61,6 +61,11 @@ class TreeLikelihood:
         self.include_jacobian = include_jacobian
         self.prefix = prefix
         self.engine = engine
+        # set by parallel.mesh.shard_tree_likelihood: pattern-axis mesh the
+        # Pallas engines wrap with shard_map (the XLA engine shards via
+        # GSPMD propagation from the input shardings alone)
+        self.mesh = None
+        self.pattern_axis = "patterns"
         # RATIO / RATIO_NAIVE / PROPORTION share one transform in the
         # reference (treetransform.c new_HeightTreeTransform assigns the same
         # `update`; only the gradient algorithm differs, which autodiff
@@ -162,13 +167,17 @@ class TreeLikelihood:
         the level-batched XLA path (ops/pruning.py)."""
         if self.engine == "pallas-loop" or (
                 self.engine == "auto" and self._pallas_loop_fits()):
+            interpret = jax.default_backend() != "tpu"
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_map_loop_engine
+                return shard_map_loop_engine(
+                    self.mesh, self.pattern_axis, interpret=interpret)
             from ..ops.pallas_pruning_loop import loop_tree_log_likelihood
 
             def run(tips, pmats, topo, freqs, props, weights, rescale):
                 return loop_tree_log_likelihood(
                     tips, pmats, topo, freqs, props, weights,
-                    rescale=rescale,
-                    interpret=jax.default_backend() != "tpu")
+                    rescale=rescale, interpret=interpret)
 
             return run
         if self.engine == "pallas" or (

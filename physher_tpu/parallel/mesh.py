@@ -17,6 +17,7 @@ arrays shard. MCMC chains / temperature ladders use a second mesh axis
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -66,7 +67,9 @@ def shard_tree_likelihood(tlk, mesh: Mesh, axis_name: str = "patterns"):
 
     After this, any jitted function of the likelihood runs SPMD: XLA
     partitions the pruning einsums on the pattern axis and inserts the
-    all-reduce at the weighted root sum.
+    all-reduce at the weighted root sum. The Pallas engines (opaque to
+    GSPMD) are wrapped in ``shard_map`` over the pattern axis by the
+    TreeLikelihood once ``tlk.mesh`` is set here.
     """
     if tlk.tip_partials.shape[-1] % mesh.shape[axis_name]:
         raise ValueError(
@@ -77,4 +80,50 @@ def shard_tree_likelihood(tlk, mesh: Mesh, axis_name: str = "patterns"):
     tlk.tip_partials, tlk.weights = shard_patterns(
         mesh, tlk.tip_partials, tlk.weights, axis_name=axis_name
     )
+    tlk.mesh = mesh
+    tlk.pattern_axis = axis_name
     return tlk
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    """jax.shard_map across jax versions (experimental fallback)."""
+    # check_vma=False: pallas_call does not declare varying-mesh-axes
+    # metadata, so the collectives check cannot see through it
+    try:
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
+def shard_map_loop_engine(mesh: Mesh, axis_name: str = "patterns", *,
+                          block: int = 4, interpret: bool = False):
+    """Pattern-sharded wrapper for the loop-based Pallas pruning kernel.
+
+    Pallas calls are opaque to GSPMD, so the automatic propagation that
+    partitions the XLA engine does not apply; this maps the kernel over
+    per-device pattern shards with ``shard_map`` and reduces the weighted
+    root sum with ``psum`` — the exact reduction point of the reference
+    (src/phyc/treelikelihood.c:1483-1486). Differentiable: the kernel's
+    analytic custom VJP composes with shard_map's psum transpose (P-matrix
+    cotangents are psum'ed across shards automatically).
+    """
+    from ..ops.pallas_pruning_loop import loop_site_log
+
+    def run(tips, pmats, topo, freqs, props, weights, *, rescale=True):
+        def shard_fn(tips_s, pmats_r, freqs_r, props_r, weights_s):
+            tips_s = jax.lax.stop_gradient(tips_s)
+            site = loop_site_log(topo, rescale, block, interpret,
+                                 tips_s, pmats_r, freqs_r, props_r)
+            logL = jax.lax.psum(jnp.sum(weights_s * site), axis_name)
+            return logL, site
+
+        fn = _shard_map(
+            shard_fn, mesh,
+            in_specs=(P(None, None, axis_name), P(), P(), P(), P(axis_name)),
+            out_specs=(P(), P(axis_name)))
+        return fn(tips, pmats, freqs, props, weights)
+
+    return run

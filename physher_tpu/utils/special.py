@@ -113,7 +113,9 @@ def _qgamma_table(p_tuple):
         # tiny-alpha quantiles underflow f64 to 0; clamp at the f32 exp
         # underflow bound (those rates are exactly 0 in the f32 path anyway)
         logq = np.maximum(np.log(q), -87.0)
-    tab = (float(u[0]), float(u[1] - u[0]), jnp.asarray(logq))
+    # cache host arrays only: a jnp array materialized inside a jit trace is
+    # a tracer, and caching it across traces leaks it (UnexpectedTracerError)
+    tab = (float(u[0]), float(u[1] - u[0]), logq)
     _QGAMMA_TABLE_CACHE[key] = tab
     return tab
 
@@ -126,8 +128,8 @@ def qgamma_fixed_p(p_tuple: tuple, alpha):
     [1e-3, 1e3] the shape is clamped (the reference bounds the shape
     parameter comparably, src/phyc/sitemodel.c factory bounds).
     """
-    u0, du, logq = _qgamma_table(tuple(float(x) for x in p_tuple))
-    logq = logq.astype(jnp.result_type(alpha, jnp.zeros(0).dtype))
+    u0, du, logq_np = _qgamma_table(tuple(float(x) for x in p_tuple))
+    logq = jnp.asarray(logq_np, jnp.result_type(alpha, jnp.zeros(0).dtype))
     n = logq.shape[1]
     u = jnp.log(jnp.clip(alpha, _QGAMMA_LO, _QGAMMA_HI))
     t = (u - u0) / du

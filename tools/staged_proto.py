@@ -92,7 +92,7 @@ def build_block_pmats(pmats, sched, C, S, B):
     return blockP
 
 
-def _kernel(C, S, B, maxc, n_steps, T, n_zero,
+def _kernel(C, S, B, maxc, n_steps, T, n_zero, rescale,
             tipcons_ref, nodecons_ref, zrows_ref, valid_ref,
             tips_ref, blockP_ref, rootw_ref, site_log_ref,
             stage, scal_acc):
@@ -135,18 +135,40 @@ def _kernel(C, S, B, maxc, n_steps, T, n_zero,
             v = valid_ref[s][:, None][j * Rb:(j + 1) * Rb]  # [Rb, 1]
             contrib = contrib * v + (1.0 - v)
             res = contrib if res is None else res * contrib  # [Rb, TILE]
-        logm_sum = None
-        for b in range(B):
-            rb = res[b * CS:(b + 1) * CS]
-            m = jnp.max(rb, axis=0, keepdims=True)     # [1, TILE]
-            m = jnp.maximum(m, jnp.finfo(f32).tiny)
-            rb = rb / m
-            lm = jnp.log(m)
-            logm_sum = lm if logm_sum is None else logm_sum + lm
-            ps = nodecons_ref[s, b, 0]
-            pr = pl.multiple_of(nodecons_ref[s, b, 1], CS)
-            stage[ps, pl.ds(pr, CS)] = rb
-        scal_acc[:, :] = scal_acc[:, :] + logm_sum
+        if rescale == "exp":
+            # exponent-only rescale: m = 2^floor(log2 max) via bit tricks;
+            # division becomes exponent subtraction, log m = e*ln2 (exact)
+            mall = jnp.max(res.reshape(B, CS, TILE), axis=1)       # [B, TILE]
+            bits = jax.lax.bitcast_convert_type(
+                jnp.maximum(mall, jnp.finfo(f32).tiny), jnp.int32)
+            e = (bits >> 23) & 0xFF                                # [B, TILE]
+            scale_bits = ((254 - e) << 23)
+            inv_m = jax.lax.bitcast_convert_type(scale_bits, f32)  # 2^(127-e+?)
+            logm = (e.astype(f32) - 127.0) * np.log(2.0).astype(np.float32)
+            res = res * jnp.repeat(inv_m, CS, axis=0)
+            scal_acc[:, :] = scal_acc[:, :] + jnp.sum(logm, axis=0)[None]
+            for b in range(B):
+                ps = nodecons_ref[s, b, 0]
+                pr = pl.multiple_of(nodecons_ref[s, b, 1], CS)
+                stage[ps, pl.ds(pr, CS)] = res[b * CS:(b + 1) * CS]
+        elif rescale:
+            logm_sum = None
+            for b in range(B):
+                rb = res[b * CS:(b + 1) * CS]
+                m = jnp.max(rb, axis=0, keepdims=True)     # [1, TILE]
+                m = jnp.maximum(m, jnp.finfo(f32).tiny)
+                rb = rb / m
+                lm = jnp.log(m)
+                logm_sum = lm if logm_sum is None else logm_sum + lm
+                ps = nodecons_ref[s, b, 0]
+                pr = pl.multiple_of(nodecons_ref[s, b, 1], CS)
+                stage[ps, pl.ds(pr, CS)] = rb
+            scal_acc[:, :] = scal_acc[:, :] + logm_sum
+        else:
+            for b in range(B):
+                ps = nodecons_ref[s, b, 0]
+                pr = pl.multiple_of(nodecons_ref[s, b, 1], CS)
+                stage[ps, pl.ds(pr, CS)] = res[b * CS:(b + 1) * CS]
         return _
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), step, jnp.int32(0))
