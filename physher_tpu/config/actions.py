@@ -94,6 +94,8 @@ class Runner:
         log_prob = self.model_logprob(model)
         space = model.param_space()
         restrict = node.get("parameters")
+        if not restrict and node.get("list"):
+            restrict = self._schedule_scope(node, model)
         params = self.params_for(space)
         if restrict:
             names = self.ctx.resolve_target(restrict)
@@ -127,6 +129,51 @@ class Runner:
         print(f"Maximum log likelihood: {res.logp:.6f} "
               f"({res.iterations} iterations)", file=self.out)
         return res
+
+    def _schedule_scope(self, node, model):
+        """Union of parameter names the meta schedule's sub-optimizers target.
+
+        The reference meta-optimizer only runs its schedule's sub-optimizers
+        (optimizer.c:154-210); a config whose schedule covers a subset of the
+        parameters (e.g. jc69-time.json: one "serial" sub-optimizer over the
+        treelikelihood's branch parameters, optimizer.c:100-152) must leave
+        the rest (clock rate) fixed. Optimizing everything jointly is both
+        wrong and — with include_jacobian and no prior — unbounded (rate→0,
+        root height→inf rides the ratio-transform log|J| to +inf).
+
+        Returns a list of parameter names, or None for the full space (any
+        sub-optimizer without a recognizable restricted target).
+        """
+        from ..models.treelikelihood import TreeLikelihood
+
+        names: list = []
+        for s in node.get("list", []):
+            alg = str(s.get("algorithm", "")).lower()
+            if s.get("parameters"):
+                names += [n for n in self.ctx.resolve_target(s["parameters"])]
+                continue
+            if alg in ("serial", "brent", "serialbrent"):
+                tgt = self.ctx.resolve(
+                    s.get("treelikelihood") or s.get("model")
+                    or node.get("model"))
+                tlk = getattr(tgt, "tlk", tgt)
+                if isinstance(tlk, TreeLikelihood):
+                    # branch-parameter analog: distances for unrooted trees,
+                    # height reparameterization for time trees (the
+                    # reference's serial Brent walks node->distance, which is
+                    # meaningless for a time tree — verified: its own run on
+                    # jc69-time.json degrades logP from -4786.87 to -24005.93)
+                    if tlk.time_data is not None:
+                        if tlk.height_transform == "shift":
+                            names.append(tlk.key("shifts"))
+                        else:
+                            names += [tlk.key("ratios"),
+                                      tlk.key("root_height")]
+                    else:
+                        names.append(tlk.key("distances"))
+                    continue
+            return None  # unrecognized sub-optimizer: keep full space
+        return names or None
 
     def _run_topology_search(self, node, model, move, tol):
         from ..inference.topology_search import TopologySearch

@@ -582,7 +582,11 @@ def build_treelikelihood(node, ctx: Context) -> TreeLikelihood:
         distances_init=dist0,
         include_jacobian=bool(node.get("include_jacobian",
                                        node.get("reparameterized", False))),
-        tipstates=bool(node.get("tipstates", False)),
+        # the reference DEFAULTS tipstates to true (treelikelihood.c:841):
+        # ambiguity codes collapse to unknown unless "tipstates": false.
+        # Verified on fluA (one 'R'): reference logP is identical for R and
+        # N, and differs once tipstates:false uses real ambiguity partials.
+        tipstates=bool(node.get("tipstates", True)),
         prefix=handle.prefix,
         height_transform=getattr(handle, "transform", "ratio"),
     )

@@ -42,17 +42,10 @@ def _make_loss(log_prob: Callable, space: ParamSpace):
     return loss
 
 
-def optimize_adam(log_prob, space: ParamSpace, params: dict, *,
-                  learning_rate: float = 0.05, max_iter: int = 5000,
-                  tol: float = 1e-6, patience: int = 100,
-                  checkpoint: Optional[str] = None,
-                  checkpoint_every: int = 1000,
-                  log_every: int = 0) -> OptResult:
-    """Adam on the unconstrained reparameterization (reference:
-    src/phyc/gradascent.c optimize_stochastic_gradient_adam)."""
-    uparams = space.unconstrain(params)
+def _adam_machine(loss, learning_rate: float):
+    """(init, step) pair with one jitted step — reusable across meta rounds
+    (re-jitting per round was the dominant CPU cost on fluA-sized models)."""
     opt = optax.adam(learning_rate)
-    loss = _make_loss(log_prob, space)
 
     @jax.jit
     def step(uparams, state):
@@ -60,7 +53,37 @@ def optimize_adam(log_prob, space: ParamSpace, params: dict, *,
         updates, state = opt.update(grads, state, uparams)
         return optax.apply_updates(uparams, updates), state, val
 
-    state = opt.init(uparams)
+    return opt.init, step
+
+
+def _lbfgs_machine(loss, history_size: int = 20):
+    opt = optax.lbfgs(memory_size=history_size)
+    value_and_grad = optax.value_and_grad_from_state(loss)
+
+    @jax.jit
+    def step(uparams, state):
+        val, grad = value_and_grad(uparams, state=state)
+        updates, state = opt.update(
+            grad, state, uparams, value=val, grad=grad, value_fn=loss)
+        return optax.apply_updates(uparams, updates), state, val, grad
+
+    return opt.init, step
+
+
+def optimize_adam(log_prob, space: ParamSpace, params: dict, *,
+                  learning_rate: float = 0.05, max_iter: int = 5000,
+                  tol: float = 1e-6, patience: int = 100,
+                  checkpoint: Optional[str] = None,
+                  checkpoint_every: int = 1000,
+                  log_every: int = 0, _machine=None) -> OptResult:
+    """Adam on the unconstrained reparameterization (reference:
+    src/phyc/gradascent.c optimize_stochastic_gradient_adam)."""
+    uparams = space.unconstrain(params)
+    if _machine is None:
+        loss = _make_loss(log_prob, space)
+        _machine = _adam_machine(loss, learning_rate)
+    init, step = _machine
+    state = init(uparams)
     best = np.inf
     best_u = uparams
     since = 0
@@ -125,22 +148,15 @@ def optimize_adam_adapt(log_prob, space: ParamSpace, params: dict, *,
 
 def optimize_lbfgs(log_prob, space: ParamSpace, params: dict, *,
                    max_iter: int = 500, tol: float = 1e-8,
-                   history_size: int = 20) -> OptResult:
+                   history_size: int = 20, _machine=None) -> OptResult:
     """L-BFGS with Zoom linesearch on the unconstrained space (replacement
     for the reference's BFGS/CG, src/phyc/bfgs.c, frpmrn.c)."""
     uparams = space.unconstrain(params)
     loss = _make_loss(log_prob, space)
-    opt = optax.lbfgs(memory_size=history_size)
-    value_and_grad = optax.value_and_grad_from_state(loss)
-
-    @jax.jit
-    def step(uparams, state):
-        val, grad = value_and_grad(uparams, state=state)
-        updates, state = opt.update(
-            grad, state, uparams, value=val, grad=grad, value_fn=loss)
-        return optax.apply_updates(uparams, updates), state, val, grad
-
-    state = opt.init(uparams)
+    if _machine is None:
+        _machine = _lbfgs_machine(loss, history_size)
+    init, step = _machine
+    state = init(uparams)
     prev = np.inf
     it = 0
     converged = False
@@ -215,7 +231,7 @@ def brent_minimize(f, lo: float, hi: float, *, tol: float = 1e-8,
 
 
 def _brent_scalar_pass(log_prob, space: ParamSpace, params: dict,
-                       tol: float) -> dict:
+                       tol: float, fn=None) -> dict:
     """One round of bounded Brent over each *scalar* parameter with the
     rest fixed (reference: serial-Brent sub-optimizers inside meta,
     optimizer.c:100-152). Escapes coordinate-wise local basins that joint
@@ -223,7 +239,8 @@ def _brent_scalar_pass(log_prob, space: ParamSpace, params: dict,
     import jax.numpy as jnp
 
     params = dict(params)
-    fn = jax.jit(log_prob)
+    if fn is None:
+        fn = jax.jit(log_prob)
     for spec in space.free_specs():
         if spec.unconstrained_size != 1 or np.size(params[spec.name]) != 1:
             continue
@@ -310,23 +327,36 @@ def optimize(log_prob, space: ParamSpace, params: dict, *,
     if n_starts > 1:
         params = _multistart_warmup(log_prob, space, params,
                                     n_starts=n_starts)
-    res = optimize_adam(log_prob, space, params, tol=tol,
-                        max_iter=kw.pop("adam_iter", 2000), **kw)
+    # one jitted machine per optimizer, shared by every meta round:
+    # re-tracing Adam/L-BFGS per round dominated wall-clock on fluA-sized
+    # models (the L-BFGS zoom-linesearch graph alone compiles in tens of
+    # seconds on CPU)
+    loss = _make_loss(log_prob, space)
+    lr = kw.pop("learning_rate", 0.05)
+    adam_m = _adam_machine(loss, lr)
+    lbfgs_m = _lbfgs_machine(loss)
+    fn_jit = jax.jit(log_prob)
+    res = optimize_adam(log_prob, space, params, tol=tol, learning_rate=lr,
+                        max_iter=kw.pop("adam_iter", 2000),
+                        _machine=adam_m, **kw)
     total_it = res.iterations
     for _round in range(10):
-        res2 = optimize_lbfgs(log_prob, space, res.params, tol=tol)
+        res2 = optimize_lbfgs(log_prob, space, res.params, tol=tol,
+                              _machine=lbfgs_m)
         total_it += res2.iterations
         if res2.logp > res.logp:
             res = res2
         # scalar Brent escape pass (reference: meta rounds re-run serial
         # Brent until the gain drops below tolfx)
-        brent_params = _brent_scalar_pass(log_prob, space, res.params, tol)
+        brent_params = _brent_scalar_pass(log_prob, space, res.params, tol,
+                                          fn=fn_jit)
         blogp = float(log_prob(brent_params))
         improved = blogp > res.logp + max(tol, 1e-4)
         if improved:
             res = OptResult(brent_params, blogp, total_it, False)
             res3 = optimize_adam(log_prob, space, res.params, tol=tol,
-                                 max_iter=1000)
+                                 learning_rate=lr, max_iter=1000,
+                                 _machine=adam_m)
             total_it += res3.iterations
             if res3.logp > res.logp:
                 res = res3

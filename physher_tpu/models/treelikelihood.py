@@ -165,6 +165,21 @@ class TreeLikelihood:
         pattern tile, constant program size, analytic rematerializing VJP),
         the unrolled Pallas kernel on request (ops/pallas_pruning.py), else
         the level-batched XLA path (ops/pruning.py)."""
+        if self.engine == "pallas-staged" or (
+                self.engine == "auto" and self._pallas_staged_fits()):
+            interpret = jax.default_backend() != "tpu"
+            from ..ops.pallas_staged import staged_tree_log_likelihood
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_map_staged_engine
+                return shard_map_staged_engine(
+                    self.mesh, self.pattern_axis, interpret=interpret)
+
+            def run(tips, pmats, topo, freqs, props, weights, rescale):
+                return staged_tree_log_likelihood(
+                    tips, pmats, topo, freqs, props, weights,
+                    rescale=rescale, interpret=interpret)
+
+            return run
         if self.engine == "pallas-loop" or (
                 self.engine == "auto" and self._pallas_loop_fits()):
             interpret = jax.default_backend() != "tpu"
@@ -192,6 +207,30 @@ class TreeLikelihood:
 
             return run
         return tree_log_likelihood
+
+    def _pallas_staged_fits(self) -> bool:
+        import os
+
+        from ..ops.pallas_staged import TILE, vmem_estimate_staged
+
+        if os.environ.get("PHYSHER_TPU_ENGINE") not in (None, "", "staged"):
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        if jax.config.jax_enable_x64:
+            return False
+        if jnp.dtype(self.dtype).itemsize != 4 or self._P % TILE:
+            return False
+        C = len(self.site_model.rates_props(
+            self.site_model.param_space().init_params())[1])
+        S = self.tip_partials.shape[1]
+        maxc = int(self.topo.child_count.max())
+        # auto only for the TPU-validated nucleotide case (same policy as
+        # the loop kernel); other state counts opt in explicitly
+        if S != 4 or maxc != 2:
+            return False
+        return vmem_estimate_staged(self.topo.N, C, S,
+                                    backward=True) < 13 << 20
 
     def _pallas_loop_fits(self) -> bool:
         import os

@@ -136,21 +136,25 @@ def _kernel(C, S, B, maxc, n_steps, T, n_zero, rescale,
             contrib = contrib * v + (1.0 - v)
             res = contrib if res is None else res * contrib  # [Rb, TILE]
         if rescale == "exp":
-            # exponent-only rescale: m = 2^floor(log2 max) via bit tricks;
-            # division becomes exponent subtraction, log m = e*ln2 (exact)
-            mall = jnp.max(res.reshape(B, CS, TILE), axis=1)       # [B, TILE]
-            bits = jax.lax.bitcast_convert_type(
-                jnp.maximum(mall, jnp.finfo(f32).tiny), jnp.int32)
-            e = (bits >> 23) & 0xFF                                # [B, TILE]
-            scale_bits = ((254 - e) << 23)
-            inv_m = jax.lax.bitcast_convert_type(scale_bits, f32)  # 2^(127-e+?)
-            logm = (e.astype(f32) - 127.0) * np.log(2.0).astype(np.float32)
-            res = res * jnp.repeat(inv_m, CS, axis=0)
-            scal_acc[:, :] = scal_acc[:, :] + jnp.sum(logm, axis=0)[None]
+            # exponent-only rescale: m = 2^(e-127) from the exponent bits of
+            # the per-node max; division becomes an exponent flip (exact),
+            # log m = (e-127)*ln2 (exact) — no transcendental per step
+            esum = None
             for b in range(B):
+                rb = res[b * CS:(b + 1) * CS]
+                m = jnp.max(rb, axis=0, keepdims=True)             # [1, TILE]
+                bits = jax.lax.bitcast_convert_type(
+                    jnp.maximum(m, jnp.finfo(f32).tiny), jnp.int32)
+                e = (bits >> 23) & 0xFF
+                inv_m = jax.lax.bitcast_convert_type((254 - e) << 23, f32)
+                rb = rb * inv_m
+                esum = e if esum is None else esum + e
                 ps = nodecons_ref[s, b, 0]
                 pr = pl.multiple_of(nodecons_ref[s, b, 1], CS)
-                stage[ps, pl.ds(pr, CS)] = res[b * CS:(b + 1) * CS]
+                stage[ps, pl.ds(pr, CS)] = rb
+            scal_acc[:, :] = scal_acc[:, :] + (
+                esum.astype(f32) - np.float32(127.0 * B)
+            ) * np.float32(np.log(2.0))
         elif rescale:
             logm_sum = None
             for b in range(B):
@@ -180,7 +184,7 @@ def _kernel(C, S, B, maxc, n_steps, T, n_zero, rescale,
 
 
 def build_staged_forward(topo, C, S, P, B=4, interpret=False,
-                         dtype=jnp.float32, tile=None):
+                         dtype=jnp.float32, tile=None, rescale=True):
     global TILE
     if tile is not None:
         TILE = tile
@@ -220,7 +224,7 @@ def build_staged_forward(topo, C, S, P, B=4, interpret=False,
     zrows = np.asarray(zrows if zrows else [(0, 0)], np.int32)
     n_zero = len(zrows)
 
-    kernel = partial(_kernel, C, S, B, maxc, n_steps, T, n_zero)
+    kernel = partial(_kernel, C, S, B, maxc, n_steps, T, n_zero, rescale)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,                # tipcons, nodecons, zrows
@@ -287,10 +291,14 @@ def main():
         tips, pmats, freqs, props, weights)
 
     import jax.lax as lax
-    for B, tile, prec in [(8, 256, None), (8, 384, None), (16, 256, None),
-                          (8, 128, None), (4, 256, None), (16, 384, None)]:
+    for B, tile, prec, resc in [
+            (8, 256, None, True), (8, 256, None, False), (8, 256, None, "exp"),
+            (8, 512, None, "exp"), (16, 512, None, "exp"),
+            (8, 256, lax.Precision.HIGHEST, True),
+            (8, 512, None, True), (16, 256, None, "exp")]:
         _PREC[0] = prec
-        fn = jax.jit(build_staged_forward(topo, C, S, P, B=B, tile=tile))
+        fn = jax.jit(build_staged_forward(topo, C, S, P, B=B, tile=tile,
+                                          rescale=resc))
         site = fn(tips, pmats, freqs, props)
         err = float(jnp.max(jnp.abs(site - ref_site)))
         t0 = time.perf_counter()
@@ -299,7 +307,8 @@ def main():
             site = fn(tips, pmats, freqs, props)
         jax.block_until_ready(site)
         dt = (time.perf_counter() - t0) / n
-        print(f"B={B} tile={tile} prec={prec}: max|err|={err:.2e}  fwd {dt*1e3:7.3f} ms  "
+        print(f"B={B} tile={tile} prec={prec} resc={resc}: max|err|={err:.2e}  "
+              f"fwd {dt*1e3:7.3f} ms  "
               f"{n_patterns/dt/1e6:7.3f} M patterns/s", flush=True)
 
     # current loop kernel forward for comparison
