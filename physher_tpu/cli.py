@@ -33,10 +33,12 @@ def main(argv=None):
                     help="enable float64 (default on CPU)")
     args = ap.parse_args(argv)
 
-    # NOTE: on this image the axon TPU plugin prepends itself to
-    # jax_platforms at import time, so the env var alone cannot select the
-    # CPU — force via config.update after import.
-    platform = args.platform or os.environ.get("PHYSHER_TPU_PLATFORM")
+    # NOTE: TPU plugins may prepend themselves to jax_platforms at import
+    # time, so the JAX_PLATFORMS env var alone cannot reliably select the
+    # CPU — honor it (and --platform / PHYSHER_TPU_PLATFORM) via
+    # config.update after import.
+    platform = (args.platform or os.environ.get("PHYSHER_TPU_PLATFORM")
+                or os.environ.get("JAX_PLATFORMS"))
     import jax
 
     if platform:

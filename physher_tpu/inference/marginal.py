@@ -216,9 +216,12 @@ def laplace_marginal(log_prob, space: ParamSpace, map_params,
         up = space.unflatten_unconstrained(z)
         return log_prob(space.constrain(up)) + space.log_jacobian(up)
 
-    # reverse-over-reverse Hessian: works with custom_vjp likelihood engines
-    # (jax.hessian = jacfwd(jacrev) would require forward-mode support)
-    H = jax.jacrev(jax.grad(f))(u)
+    # reverse-over-reverse Hessian; the Pallas engines' backward kernels are
+    # not differentiable, so force the XLA engine for the second derivative
+    from ..models.treelikelihood import engine_override
+
+    with engine_override("xla"):
+        H = jax.jacrev(jax.grad(f))(u)
     d = u.shape[0]
     sign, logdet = jnp.linalg.slogdet(-H)
     return float(f(u) + 0.5 * d * math.log(2 * math.pi) - 0.5 * logdet)
@@ -264,10 +267,13 @@ def laplace_marginal_fitted(log_prob, space: ParamSpace, map_params,
             i += n
         return log_prob(p)
 
+    from ..models.treelikelihood import engine_override
+
     m = to_vec(map_params)
-    logp0 = f(m)
-    d1 = jax.grad(f)(m)
-    d2 = jnp.diagonal(jax.jacrev(jax.grad(f))(m))
+    with engine_override("xla"):
+        logp0 = f(m)
+        d1 = jax.grad(f)(m)
+        d2 = jnp.diagonal(jax.jacrev(jax.grad(f))(m))
 
     if family == "gamma":
         # rate = -f''(m)*m, shape = rate*m + 1 (laplace.c:189-192)

@@ -254,9 +254,16 @@ def fit_klpq(vb, key, *, steps: int = 2000, learning_rate: float = 0.05,
 def fit(vb, key, *, steps: int = 5000, learning_rate: float = 0.02,
         grad_samples: int = 1, elbo_samples: int = 100,
         elbo_every: int = 100, tol: float = 1e-4, patience: int = 10,
-        log_every: int = 0) -> VBResult:
+        log_every: int = 0, chunk: int = 0) -> VBResult:
     """Adam on the negative ELBO (reference: optimizer.c OPT_SG_ADAM +
-    gradascent.c loop with periodic multi-sample ELBO checks)."""
+    gradascent.c loop with periodic multi-sample ELBO checks).
+
+    ``chunk > 1`` runs that many Adam steps per device dispatch inside
+    ``lax.scan`` — on small models (fluA: 238 patterns) per-step dispatch
+    latency dominates an accelerator run, so chunking is what makes TPU VI
+    competitive with the reference's in-cache CPU loop. Early stopping then
+    happens at chunk granularity (``elbo_every`` is rounded up).
+    """
     opt = optax.adam(learning_rate)
     vparams = vb.init
     state = opt.init(vparams)
@@ -269,6 +276,23 @@ def fit(vb, key, *, steps: int = 5000, learning_rate: float = 0.02,
         return optax.apply_updates(vparams, updates), state, -val
 
     @jax.jit
+    def run_chunk(vparams, state, key):
+        def body(carry, k):
+            vp, st = carry
+            vp, st, val = step_inner(vp, st, k)
+            return (vp, st), val
+
+        def step_inner(vp, st, k):
+            val, grads = jax.value_and_grad(
+                lambda q: -vb.elbo(q, k, grad_samples))(vp)
+            updates, st = opt.update(grads, st, vp)
+            return optax.apply_updates(vp, updates), st, -val
+
+        keys = jax.random.split(key, chunk)
+        (vparams, state), vals = jax.lax.scan(body, (vparams, state), keys)
+        return vparams, state, vals[-1]
+
+    @jax.jit
     def eval_elbo(vparams, key):
         return vb.elbo(vparams, key, elbo_samples)
 
@@ -277,19 +301,26 @@ def fit(vb, key, *, steps: int = 5000, learning_rate: float = 0.02,
     since = 0
     history = []
     it = 0
-    for it in range(steps):
+    stride = max(chunk, 1)
+    check_every = max(1, -(-elbo_every // stride))  # chunks per ELBO check
+    n_outer = -(-steps // stride)
+    for outer in range(n_outer):
         key, sub = jax.random.split(key)
-        vparams, state, val = step(vparams, state, sub)
-        if (it + 1) % elbo_every == 0:
+        if chunk > 1:
+            vparams, state, val = run_chunk(vparams, state, sub)
+        else:
+            vparams, state, val = step(vparams, state, sub)
+        it = (outer + 1) * stride
+        if (outer + 1) % check_every == 0:
             key, sub = jax.random.split(key)
             e = float(eval_elbo(vparams, sub))
             history.append(e)
             if log_every:
-                print(f"iter {it+1} elbo {e:.4f}")
+                print(f"iter {it} elbo {e:.4f}")
             if e > best + tol:
                 best, best_v, since = e, vparams, 0
             else:
                 since += 1
                 if since >= patience:
                     break
-    return VBResult(best_v, best, it + 1, history)
+    return VBResult(best_v, best, it, history)

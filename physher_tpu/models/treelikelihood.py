@@ -30,6 +30,30 @@ from .sitemodel import SiteModel, ConstantSiteModel
 from .substitution import SubstitutionModel
 
 
+_ENGINE_OVERRIDE: list = []
+
+
+class engine_override:
+    """Force a pruning engine for every TreeLikelihood within the block.
+
+    Used by second-derivative consumers (config action "hessian",
+    laplace_marginal): the Pallas engines' custom-VJP backward kernels are
+    not themselves differentiable, so jax.jacrev(jax.grad(f)) needs the
+    plain XLA engine. Example: ``with engine_override("xla"): ...``.
+    """
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        _ENGINE_OVERRIDE.append(self.name)
+        return self
+
+    def __exit__(self, *exc):
+        _ENGINE_OVERRIDE.pop()
+        return False
+
+
 class TreeLikelihood:
     """Phylogenetic likelihood model over a fixed topology.
 
@@ -165,6 +189,8 @@ class TreeLikelihood:
         pattern tile, constant program size, analytic rematerializing VJP),
         the unrolled Pallas kernel on request (ops/pallas_pruning.py), else
         the level-batched XLA path (ops/pruning.py)."""
+        if _ENGINE_OVERRIDE and _ENGINE_OVERRIDE[-1] == "xla":
+            return tree_log_likelihood
         if self.engine == "pallas-staged" or (
                 self.engine == "auto" and self._pallas_staged_fits()):
             interpret = jax.default_backend() != "tpu"

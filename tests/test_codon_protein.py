@@ -157,3 +157,44 @@ def test_codon_likelihood_vs_independent():
     p[sm.key("omega")] = jnp.asarray(0.2)
     got = float(jax.jit(tlk.log_likelihood)(p))
     np.testing.assert_allclose(got, expected, rtol=1e-10)
+
+
+def test_codon_reference_goldens(data_dir):
+    """Parity with the reference libphyc on a committed codon fixture.
+
+    Golden logPs minted by tools/reforacle_codon.c (the reference's JSON
+    factory cannot build codon models, substmodel.c:1527-1536, so the oracle
+    wires GY94/MG94 through the raw C API like phycpp does). Values in
+    tests/data/goldens/codon_small.txt.
+    """
+    import os
+    import re
+
+    from physher_tpu.io.seqio import read_alignment
+    from physher_tpu.models.treelikelihood import TreeLikelihood
+
+    golden = open(os.path.join(data_dir, "goldens", "codon_small.txt")).read()
+    gy_logp = float(re.search(r"gy94 .* logP (\S+)", golden).group(1))
+    mg_logp = float(re.search(r"mg94 .* logP (\S+)", golden).group(1))
+
+    seqs = read_alignment(os.path.join(data_dir, "codon_small.fa"))
+    topo, dist = read_newick(
+        open(os.path.join(data_dir, "codon_small.nwk")).read().strip())
+    sp = SitePattern.from_alignment(seqs, "codon")
+
+    gy = GY94(fixed_freqs=True)
+    tlk = TreeLikelihood(sp, topo, gy, distances_init=dist)
+    p = tlk.param_space().init_params()
+    p[gy.key("kappa")] = jnp.asarray(2.5)
+    p[gy.key("omega")] = jnp.asarray(0.3)
+    np.testing.assert_allclose(float(tlk.log_likelihood(p)), gy_logp,
+                               rtol=5e-9, atol=1e-7)
+
+    mg = MG94(fixed_freqs=True)
+    tlk2 = TreeLikelihood(sp, topo, mg, distances_init=dist)
+    p2 = tlk2.param_space().init_params()
+    p2[mg.key("alpha")] = jnp.asarray(1.0)
+    p2[mg.key("beta")] = jnp.asarray(0.4)
+    p2[mg.key("kappa")] = jnp.asarray(2.0)
+    np.testing.assert_allclose(float(tlk2.log_likelihood(p2)), mg_logp,
+                               rtol=5e-9, atol=1e-7)

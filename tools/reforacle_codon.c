@@ -10,6 +10,7 @@
 
 #include <stdio.h>
 #include <stdlib.h>
+#include <time.h>
 #include <string.h>
 
 #include "phyc/datatype.h"
@@ -23,6 +24,7 @@
 #include "phyc/substmodel.h"
 #include "phyc/tree.h"
 #include "phyc/treeio.h"
+#include "phyc/treelikelihoodX.h"
 #include "phyc/treelikelihood.h"
 
 int main(int argc, char** argv) {
@@ -61,13 +63,42 @@ int main(int argc, char** argv) {
         sm = new_MG94_with_values(freqs, alpha, beta, kappa, 0);
     }
 
+    fprintf(stderr, "model built\n");
+    Parameters* empty = new_Parameters(1);
     SiteModel* sitemodel = new_SiteModel_with_parameters(
-        NULL, NULL, 1, DISTRIBUTION_UNIFORM, false,
+        empty, NULL, 1, DISTRIBUTION_UNIFORM, false,
         QUADRATURE_QUANTILE_MEDIAN);
+    fprintf(stderr, "sitemodel built\n");
 
     SingleTreeLikelihood* tlk =
         new_SingleTreeLikelihood(tree, sm, sitemodel, sp, NULL, false);
+    /* the >=60-state constructor assigns the codon kernels
+     * (treelikelihoodCodon.c), which segfault on this construction path in
+     * the reference (bit-rot: physher's own JSON factory cannot build codon
+     * models, substmodel.c:1527-1536, so the path is untested there);
+     * force the state-generic kernels (treelikelihoodX.c) instead — same
+     * math, any state count. */
+    tlk->update_partials = update_partials_general;
+    tlk->integrate_partials = integrate_partials_general;
+    tlk->node_log_likelihoods = node_log_likelihoods_general;
+    tlk->calculate_per_cat_partials = calculate_branch_partials;
+    tlk->update_partials_flexible = NULL;
     double logP = tlk->calculate(tlk);
     printf("logP %.17g\n", logP);
+
+    const char* bench_env = getenv("REFORACLE_BENCH");
+    if (bench_env != NULL) {
+        int iters = atoi(bench_env);
+        struct timespec t0, t1;
+        clock_gettime(CLOCK_MONOTONIC_RAW, &t0);
+        for (int it = 0; it < iters; it++) {
+            SingleTreeLikelihood_update_all_nodes(tlk);
+            logP = tlk->calculate(tlk);
+        }
+        clock_gettime(CLOCK_MONOTONIC_RAW, &t1);
+        double dt = ((t1.tv_sec - t0.tv_sec) +
+                     1e-9 * (t1.tv_nsec - t0.tv_nsec)) / iters;
+        printf("bench_logP_ms %.4f\n", dt * 1e3);
+    }
     return 0;
 }
