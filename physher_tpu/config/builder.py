@@ -577,6 +577,15 @@ def build_treelikelihood(node, ctx: Context) -> TreeLikelihood:
         clock = StrictClock(topo.N, "bm.", rate_init=1e-3)
     dist0 = np.nan_to_num(np.asarray(distances)[: topo.N - 1], nan=0.1)
     tid = node.get("id", "treelikelihood")
+    # pad the pattern axis to the Pallas TILE on TPU so config-built models
+    # (the reference's own configs: fluA, tests/data) hit the fast engines;
+    # padded patterns carry zero weight, so this is exact
+    if "pattern_pad_multiple" in node:
+        pad = int(node["pattern_pad_multiple"])
+    else:
+        import jax as _jax
+
+        pad = 256 if _jax.default_backend() == "tpu" else 1
     tlk = TreeLikelihood(
         sp, topo, subst, site_model, clock=clock, time_data=td,
         distances_init=dist0,
@@ -588,6 +597,8 @@ def build_treelikelihood(node, ctx: Context) -> TreeLikelihood:
         # N, and differs once tipstates:false uses real ambiguity partials.
         tipstates=bool(node.get("tipstates", True)),
         prefix=handle.prefix,
+        pattern_pad_multiple=pad,
+        engine=str(node.get("engine", "auto")),
         height_transform=getattr(handle, "transform", "ratio"),
     )
     ctx.param_names.setdefault(handle.key("distances"),

@@ -270,9 +270,13 @@ def laplace_marginal_fitted(log_prob, space: ParamSpace, map_params,
     from ..models.treelikelihood import engine_override
 
     m = to_vec(map_params)
+    logp0 = f(m)
+    d1 = jax.grad(f)(m)
+    # only the second derivative needs the XLA engine (the Pallas backward
+    # kernels are not differentiable); keeping logp0/d1 outside the override
+    # avoids pinning the slower engine into the jit cache of a shared
+    # log_prob callable for same-shape calls made after this returns
     with engine_override("xla"):
-        logp0 = f(m)
-        d1 = jax.grad(f)(m)
         d2 = jnp.diagonal(jax.jacrev(jax.grad(f))(m))
 
     if family == "gamma":

@@ -234,10 +234,18 @@ class TreeLikelihood:
             return run
         return tree_log_likelihood
 
+    def _shard_P(self) -> int:
+        """Per-device pattern count: the Pallas kernels see the per-shard
+        slice inside shard_map, so tile-divisibility gates on this."""
+        if self.mesh is not None:
+            return self._P // int(self.mesh.shape[self.pattern_axis])
+        return self._P
+
     def _pallas_staged_fits(self) -> bool:
         import os
 
-        from ..ops.pallas_staged import TILE, vmem_estimate_staged
+        from ..ops.pallas_staged import (
+            TILE, staged_n_steps, vmem_estimate_staged)
 
         if os.environ.get("PHYSHER_TPU_ENGINE") not in (None, "", "staged"):
             return False
@@ -245,7 +253,7 @@ class TreeLikelihood:
             return False
         if jax.config.jax_enable_x64:
             return False
-        if jnp.dtype(self.dtype).itemsize != 4 or self._P % TILE:
+        if jnp.dtype(self.dtype).itemsize != 4 or self._shard_P() % TILE:
             return False
         C = len(self.site_model.rates_props(
             self.site_model.param_space().init_params())[1])
@@ -255,8 +263,11 @@ class TreeLikelihood:
         # the loop kernel); other state counts opt in explicitly
         if S != 4 or maxc != 2:
             return False
-        return vmem_estimate_staged(self.topo.N, C, S,
-                                    backward=True) < 13 << 20
+        while (C * S) % 8:  # staged_site_log pads categories to 8 sublanes
+            C += 1
+        return vmem_estimate_staged(
+            self.topo.N, C, S, backward=True,
+            n_steps=staged_n_steps(self.topo)) < 13 << 20
 
     def _pallas_loop_fits(self) -> bool:
         import os
@@ -271,7 +282,7 @@ class TreeLikelihood:
             # x64 mode makes Pallas index maps emit i64, which Mosaic
             # rejects; f64 runs use the XLA path (TPUs have no f64 anyway)
             return False
-        if jnp.dtype(self.dtype).itemsize != 4 or self._P % TILE:
+        if jnp.dtype(self.dtype).itemsize != 4 or self._shard_P() % TILE:
             return False
         C = len(self.site_model.rates_props(
             self.site_model.param_space().init_params())[1])

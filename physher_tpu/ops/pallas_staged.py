@@ -88,25 +88,32 @@ def staged_schedule(topo: Topology, B: int):
 
 def build_block_pmats(pmats, sched, C, S, B, dtype=None):
     """[n_steps, maxc, Rb, Rb] block-diagonal step matrices from
-    pmats [N, C, S, S] (differentiable scatter; its transpose gathers the
-    diagonal blocks of the dblockP cotangent back onto d pmats)."""
+    pmats [N, C, S, S].
+
+    Built scatter-free: gather the children's P matrices, then place each
+    [S, S] block on the diagonal with a static one-hot placement tensor via
+    einsum — XLA lowers both to dense MXU work, and the VJP transposes to
+    einsums (a scatter here would transpose to a serial scatter-add on the
+    gradient hot path)."""
     maxc = sched["maxc"]
     n_steps = sched["n_steps"]
     CS = C * S
     Rb = B * CS
+    dt = dtype or pmats.dtype
     child = sched["child_id"].reshape(n_steps, maxc, B)   # slot = j*B + b
     csafe = np.maximum(child, 0)
-    ssx, jx, bx, ccx, iix, jjx = np.meshgrid(
-        np.arange(n_steps), np.arange(maxc), np.arange(B), np.arange(C),
-        np.arange(S), np.arange(S), indexing="ij")
-    rows = bx * CS + ccx * S + iix
-    cols = bx * CS + ccx * S + jjx
-    vals = pmats[csafe[ssx, jx, bx], ccx, iix, jjx]
-    vals = jnp.where(jnp.asarray(child[ssx, jx, bx] >= 0), vals, 0.0)
-    blockP = jnp.zeros((n_steps, maxc, Rb, Rb),
-                       dtype or pmats.dtype)
-    return blockP.at[ssx, jx, rows, cols].set(
-        vals.astype(dtype or pmats.dtype))
+    pmg = pmats[csafe]                                    # [s, m, B, C, S, S]
+    pmg = pmg * jnp.asarray(child >= 0, pmg.dtype)[..., None, None, None]
+    # row index b*CS + c*S + i is exactly the row-major flatten of (b, c, i),
+    # so only the COLUMN placement needs the per-block shift: pad block g's
+    # columns from S to Rb at offset g*S, then reshape. Layout ops only —
+    # the VJP is slices, not a scatter-add.
+    G = B * C
+    pmg = pmg.reshape(n_steps, maxc, G, S, S).astype(dt)
+    cols = [jnp.pad(pmg[:, :, g], ((0, 0), (0, 0), (0, 0),
+                                   (g * S, Rb - (g + 1) * S)))
+            for g in range(G)]
+    return jnp.stack(cols, axis=2).reshape(n_steps, maxc, Rb, Rb)
 
 
 def _plan(topo: Topology, C: int, S: int, B: int):
@@ -466,6 +473,21 @@ def staged_site_log(tip_partials, pmats, topo: Topology, freqs, props, *,
     """
     T, S, P = tip_partials.shape
     C = pmats.shape[1]
+    # stage rows are CS-tall at offsets that are multiples of CS; Mosaic
+    # vector stores need 8-sublane alignment, so pad the category axis with
+    # zero-weight copies until C*S is a multiple of 8 (e.g. JC69 C=1, S=4).
+    # Exact: props=0 kills the padded category at the root and transposes to
+    # zero cotangents.
+    if (C * S) % 8:
+        C2 = C
+        while (C2 * S) % 8:
+            C2 += 1
+        reps = C2 - C
+        pmats = jnp.concatenate(
+            [pmats, jnp.repeat(pmats[:, -1:], reps, axis=1)], axis=1)
+        props = jnp.concatenate(
+            [props, jnp.zeros(reps, props.dtype)])
+        C = C2
     sched = staged_schedule(topo, B)
     blockP = build_block_pmats(pmats, sched, C, S, B)
     rootw = (props[:, None] * freqs[None, :]).reshape(1, C * S)
@@ -485,15 +507,27 @@ def staged_tree_log_likelihood(tip_partials, pmats, topo: Topology, freqs,
     return jnp.sum(weights * site_log), site_log
 
 
+def staged_n_steps(topo: Topology, B: int = 8) -> int:
+    """Exact step count of staged_schedule: levels pack independently, so
+    ladder/caterpillar trees (1-2 nodes per level) cost ~one step per level,
+    not ceil(I/B) — the VMEM gate must use this, not a node-count estimate."""
+    return sum(-(-len(r) // B) for r in topo.levels)
+
+
 def vmem_estimate_staged(n_nodes: int, n_cat: int, n_states: int,
                          B: int = 8, maxc: int = 2,
-                         backward: bool = True) -> int:
-    """Bytes of VMEM the staged kernels need per pattern tile (f32)."""
+                         backward: bool = True, n_steps: int = None) -> int:
+    """Bytes of VMEM the staged kernels need per pattern tile (f32).
+
+    Pass ``n_steps=staged_n_steps(topo, B)`` for the exact stage-buffer
+    size; the node-count fallback underestimates ladder topologies ~8x.
+    """
     CS = n_cat * n_states
     Rb = B * CS
     R = maxc * Rb
-    I = (n_nodes - 1) // 2 if maxc == 2 else n_nodes
-    n_steps = -(-max(I, 1) // B) + 8  # level-packing slack
+    if n_steps is None:
+        I = (n_nodes - 1) // 2 if maxc == 2 else n_nodes
+        n_steps = -(-max(I, 1) // B) + 8  # level-packing slack
     stage = (n_steps + 1) * R * TILE * 4
     blockP = 2 * maxc * Rb * Rb * 4          # double-buffered stream
     if not backward:

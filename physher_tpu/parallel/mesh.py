@@ -71,12 +71,29 @@ def shard_tree_likelihood(tlk, mesh: Mesh, axis_name: str = "patterns"):
     GSPMD) are wrapped in ``shard_map`` over the pattern axis by the
     TreeLikelihood once ``tlk.mesh`` is set here.
     """
-    if tlk.tip_partials.shape[-1] % mesh.shape[axis_name]:
+    n_dev = int(mesh.shape[axis_name])
+    P_total = tlk.tip_partials.shape[-1]
+    if P_total % n_dev:
         raise ValueError(
-            f"padded pattern count {tlk.tip_partials.shape[-1]} not divisible "
-            f"by mesh axis {mesh.shape[axis_name]}; rebuild the likelihood "
-            f"with pattern_pad_multiple={mesh.shape[axis_name]}"
+            f"padded pattern count {P_total} not divisible "
+            f"by mesh axis {n_dev}; rebuild the likelihood "
+            f"with pattern_pad_multiple={n_dev}"
         )
+    # an explicitly requested Pallas engine sees the PER-SHARD pattern count
+    # inside shard_map; n_tiles = P_shard // TILE would silently truncate the
+    # trailing patterns of every shard if it doesn't divide (engine="auto"
+    # handles this by falling back to the XLA engine via _shard_P())
+    if tlk.engine in ("pallas-staged", "pallas-loop", "pallas"):
+        if tlk.engine == "pallas-staged":
+            from ..ops.pallas_staged import TILE as tile
+        else:
+            from ..ops.pallas_pruning_loop import TILE as tile
+        if (P_total // n_dev) % tile:
+            raise ValueError(
+                f"per-shard pattern count {P_total // n_dev} not a multiple "
+                f"of the {tlk.engine} engine's TILE={tile}; rebuild with "
+                f"pattern_pad_multiple={tile * n_dev}"
+            )
     tlk.tip_partials, tlk.weights = shard_patterns(
         mesh, tlk.tip_partials, tlk.weights, axis_name=axis_name
     )

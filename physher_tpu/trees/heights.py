@@ -41,14 +41,68 @@ def compute_lowers(topo: Topology, tip_heights: np.ndarray) -> np.ndarray:
     return lowers
 
 
+# Above this internal-node count the closed-form path's [I,I] ancestor
+# matrix (f32) would exceed ~16 MB; fall back to the level sweep.
+_MATRIX_MAX_I = 2048
+
+
+def _ratio_ancestor_mask(topo: Topology) -> np.ndarray:
+    """[I-1, I-1] mask: A[k, j] = 1 iff non-root internal j is an
+    ancestor-or-self of non-root internal k (static; cached on topo)."""
+    A = getattr(topo, "_ratio_anc_mask", None)
+    if A is None:
+        I, T = topo.I, topo.T
+        A = np.zeros((max(I - 1, 1), max(I - 1, 1)), dtype=np.float32)
+        # postorder ranks: parent rank > child rank, so descending order
+        # visits parents first and A[parent] is complete when the child needs
+        # it
+        for k in range(I - 2, -1, -1):
+            p = int(topo.parent[T + k]) - T
+            if p != I - 1:  # parent is not the root
+                A[k] = A[p]
+            A[k, k] = 1.0
+        topo._ratio_anc_mask = A
+    return A
+
+
 def heights_from_ratios(params: jnp.ndarray, topo: Topology,
                         tip_heights, lowers) -> jnp.ndarray:
-    """Forward ratio transform: params [I] (root height last) -> heights [N]."""
+    """Forward ratio transform: params [I] (root height last) -> heights [N].
+
+    For trees up to ``_MATRIX_MAX_I`` internals the recursion
+    ``h(n) = l(n)(1-r(n)) + r(n) h(parent)`` is unrolled to its closed form
+
+        h(n) = sum_a W[n,a] l(a)(1-r(a)) + R(n) H,
+        W[n,a] = exp(logR(n) - logR(a)) for ancestors-or-self a,
+        logR(n) = sum of log r over non-root internal ancestors-or-self,
+
+    one masked [I,I] matvec instead of tree-depth many sequential level
+    updates — the latency killer for small models on an accelerator. All W
+    entries are products of ratios in (0,1], so everything stays in [0,1]
+    and is exactly as stable as the sequential sweep. (Reference semantics:
+    src/phyc/treetransform.c:224-266; this is an algebraic identity, not an
+    approximation.)
+    """
     dtype = params.dtype
+    I, T = topo.I, topo.T
+    tips = jnp.asarray(tip_heights, dtype=dtype)
+    H = params[I - 1]
+    if I == 1:
+        return jnp.concatenate([tips, H[None].astype(dtype)])
+    if I <= _MATRIX_MAX_I:
+        A = jnp.asarray(_ratio_ancestor_mask(topo), dtype=dtype)
+        lows = jnp.asarray(np.asarray(lowers)[T: T + I - 1], dtype=dtype)
+        # exact-zero ratios would make logR[-inf]-logR[-inf] = nan in W;
+        # the clamp is below f32 resolution of the transform output
+        r = jnp.maximum(params[: I - 1], jnp.finfo(dtype).tiny)
+        logR = A @ jnp.log(r)
+        W = jnp.exp(logR[:, None] - logR[None, :]) * A
+        h_int = W @ (lows * (1.0 - r)) + jnp.exp(logR) * H
+        return jnp.concatenate([tips, h_int, H[None].astype(dtype)])
     h = jnp.zeros(topo.N, dtype=dtype)
-    h = h.at[: topo.T].set(jnp.asarray(tip_heights, dtype=dtype))
+    h = h.at[: topo.T].set(tips)
     lowers = jnp.asarray(lowers, dtype=dtype)
-    h = h.at[topo.root].set(params[topo.I - 1])
+    h = h.at[topo.root].set(H)
     for ranks in topo.preorder_levels[1:]:
         nodes = topo.T + ranks
         low = lowers[nodes]
@@ -78,12 +132,57 @@ def ratio_log_jacobian(heights: jnp.ndarray, topo: Topology,
     return jnp.sum(jnp.log(heights[topo.parent[nodes]] - lowers[nodes]))
 
 
+def _shift_masks(topo: Topology):
+    """Cached (anc_incl [I, I], tip_anc [T, I], desc_tip [I, T]) masks:
+    internal-ancestor-or-self of internals, internal ancestors of tips, and
+    descendant tips of internals."""
+    cached = getattr(topo, "_shift_masks", None)
+    if cached is None:
+        I, T = topo.I, topo.T
+        anc = np.zeros((I, I), dtype=np.float32)
+        for k in range(I - 1, -1, -1):
+            node = T + k
+            p = int(topo.parent[node])
+            if p >= 0:
+                anc[k] = anc[p - T]
+            anc[k, k] = 1.0
+        tip_anc = np.zeros((T, I), dtype=np.float32)
+        for t in range(T):
+            tip_anc[t] = anc[int(topo.parent[t]) - T]
+        cached = (anc, tip_anc, tip_anc.T.copy())
+        topo._shift_masks = cached
+    return cached
+
+
 def heights_from_shifts(params: jnp.ndarray, topo: Topology,
                         tip_heights) -> jnp.ndarray:
-    """SHIFT parameterization: h = max(child heights) + shift, postorder."""
+    """SHIFT parameterization: h = max(child heights) + shift.
+
+    Closed form (small trees): since max distributes over the +shift
+    recursion, h(n) = max over descendant tips t of
+    (tip_h(t) + path-sum of shifts from t up to n), i.e. with
+    U(x) = sum of shifts over internal ancestors(-or-self) of x,
+
+        h(n) = max_{t in subtree(n)} (tip_h(t) + U(t)) - U(n) + shift(n)
+
+    — one matvec and one masked row-max (reference semantics:
+    src/phyc/treetransform.c:14-31)."""
     dtype = params.dtype
+    tips = jnp.asarray(tip_heights, dtype=dtype)
+    I, T = topo.I, topo.T
+    if I <= _MATRIX_MAX_I:
+        anc, tip_anc, desc_tip = _shift_masks(topo)
+        anc = jnp.asarray(anc, dtype=dtype)
+        tip_anc = jnp.asarray(tip_anc, dtype=dtype)
+        desc = jnp.asarray(desc_tip, dtype=dtype)
+        U = anc @ params                       # [I]
+        U_tip = tip_anc @ params               # [T]
+        val = tips + U_tip                     # [T]
+        best = jnp.max(jnp.where(desc > 0, val[None, :], -jnp.inf), axis=1)
+        h_int = best - U + params
+        return jnp.concatenate([tips, h_int])
     h = jnp.zeros(topo.N, dtype=dtype)
-    h = h.at[: topo.T].set(jnp.asarray(tip_heights, dtype=dtype))
+    h = h.at[: topo.T].set(tips)
     for ranks in topo.levels:
         nodes = topo.T + ranks
         hmax = None

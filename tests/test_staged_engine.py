@@ -134,7 +134,6 @@ def test_staged_shard_map():
     topo = balanced_topology(8)
     tips, pm, freqs, props, w = _setup(topo, n_sites=900)
     n_dev = 4
-    assert tips.shape[-1] % (TILE * n_dev) == 0 or True
     # pad to TILE per shard
     P = pad_patterns(tips.shape[-1], TILE * n_dev)
     tips = jnp.pad(tips, ((0, 0), (0, 0), (0, P - tips.shape[-1])))
