@@ -191,6 +191,21 @@ class TreeLikelihood:
         the level-batched XLA path (ops/pruning.py)."""
         if _ENGINE_OVERRIDE and _ENGINE_OVERRIDE[-1] == "xla":
             return tree_log_likelihood
+        if self.engine == "pallas-fused" or (
+                self.engine == "auto" and self._pallas_fused_fits()):
+            interpret = jax.default_backend() != "tpu"
+            from ..ops.pallas_fused import fused_tree_log_likelihood
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_map_fused_engine
+                return shard_map_fused_engine(
+                    self.mesh, self.pattern_axis, interpret=interpret)
+
+            def run(tips, pmats, topo, freqs, props, weights, rescale):
+                return fused_tree_log_likelihood(
+                    tips, pmats, topo, freqs, props, weights,
+                    rescale=rescale, interpret=interpret)
+
+            return run
         if self.engine == "pallas-staged" or (
                 self.engine == "auto" and self._pallas_staged_fits()):
             interpret = jax.default_backend() != "tpu"
@@ -240,6 +255,33 @@ class TreeLikelihood:
         if self.mesh is not None:
             return self._P // int(self.mesh.shape[self.pattern_axis])
         return self._P
+
+    def _pallas_fused_fits(self) -> bool:
+        import os
+
+        from ..ops.pallas_fused import (
+            TILE, fused_vmem_estimate, pick_B)
+
+        if os.environ.get("PHYSHER_TPU_ENGINE") not in (None, "", "fused"):
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        if jax.config.jax_enable_x64:
+            return False
+        if jnp.dtype(self.dtype).itemsize != 4 or self._shard_P() % TILE:
+            return False
+        C = len(self.site_model.rates_props(
+            self.site_model.param_space().init_params())[1])
+        S = self.tip_partials.shape[1]
+        maxc = int(self.topo.child_count.max())
+        # auto for the TPU-validated nucleotide case; other state counts
+        # opt in with engine="pallas-fused"
+        if S != 4 or maxc != 2:
+            return False
+        while (C * S) % 8:  # fused_site_log pads categories to 8 sublanes
+            C += 1
+        return fused_vmem_estimate(self.topo, C, S, pick_B(self.topo),
+                                   backward=True) < 13 << 20
 
     def _pallas_staged_fits(self) -> bool:
         import os

@@ -83,8 +83,11 @@ def shard_tree_likelihood(tlk, mesh: Mesh, axis_name: str = "patterns"):
     # inside shard_map; n_tiles = P_shard // TILE would silently truncate the
     # trailing patterns of every shard if it doesn't divide (engine="auto"
     # handles this by falling back to the XLA engine via _shard_P())
-    if tlk.engine in ("pallas-staged", "pallas-loop", "pallas"):
-        if tlk.engine == "pallas-staged":
+    if tlk.engine in ("pallas-fused", "pallas-staged", "pallas-loop",
+                      "pallas"):
+        if tlk.engine == "pallas-fused":
+            from ..ops.pallas_fused import TILE as tile
+        elif tlk.engine == "pallas-staged":
             from ..ops.pallas_staged import TILE as tile
         else:
             from ..ops.pallas_pruning_loop import TILE as tile
@@ -113,6 +116,28 @@ def _shard_map(fn, mesh, in_specs, out_specs):
         from jax.experimental.shard_map import shard_map
         return shard_map(fn, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs, check_rep=False)
+
+
+def shard_map_fused_engine(mesh: Mesh, axis_name: str = "patterns", *,
+                           interpret: bool = False):
+    """Pattern-sharded wrapper for the fused staged Pallas kernel (same
+    psum reduction point as shard_map_loop_engine)."""
+    from ..ops.pallas_fused import fused_site_log
+
+    def run(tips, pmats, topo, freqs, props, weights, *, rescale=True):
+        def shard_fn(tips_s, pmats_r, freqs_r, props_r, weights_s):
+            site = fused_site_log(tips_s, pmats_r, topo, freqs_r, props_r,
+                                  interpret=interpret)
+            logL = jax.lax.psum(jnp.sum(weights_s * site), axis_name)
+            return logL, site
+
+        fn = _shard_map(
+            shard_fn, mesh,
+            in_specs=(P(None, None, axis_name), P(), P(), P(), P(axis_name)),
+            out_specs=(P(), P(axis_name)))
+        return fn(tips, pmats, freqs, props, weights)
+
+    return run
 
 
 def shard_map_staged_engine(mesh: Mesh, axis_name: str = "patterns", *,
