@@ -184,12 +184,14 @@ def bench_elbo(extras):
     params = space.init_params(dtype=jnp.float32)
     vb = MeanFieldNormalVB(jax.jit(tlk.log_likelihood), space, params)
 
-    import optax
-
     # scan-chunked Adam (inference/vb.py fit(chunk=...)): per-step dispatch
     # latency dominates this 238-pattern model on an accelerator, so run
-    # 100 reparameterized-gradient steps per device call
-    opt = optax.adam(0.02)
+    # 100 reparameterized-gradient steps per device call. utils/optim.adam
+    # (not optax.adam, whose update graph schedules pathologically inside
+    # this scan on TPU — 7-14x slower per step, see utils/optim.py)
+    from physher_tpu.utils.optim import adam
+
+    opt = adam(0.02)
     chunk = 100
 
     @jax.jit
@@ -199,7 +201,8 @@ def bench_elbo(extras):
             val, grads = jax.value_and_grad(
                 lambda q: -vb.elbo(q, k, 1))(vp)
             updates, st = opt.update(grads, st, vp)
-            return (optax.apply_updates(vp, updates), st), -val
+            vp = jax.tree.map(lambda a, u: a + u, vp, updates)
+            return (vp, st), -val
 
         keys = jax.random.split(key, chunk)
         (vparams, state), vals = jax.lax.scan(body, (vparams, state), keys)

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..utils.optim import adam as fast_adam
+
 from ..models.parameters import ParamSpace
 
 
@@ -45,7 +47,7 @@ def _make_loss(log_prob: Callable, space: ParamSpace):
 def _adam_machine(loss, learning_rate: float):
     """(init, step) pair with one jitted step — reusable across meta rounds
     (re-jitting per round was the dominant CPU cost on fluA-sized models)."""
-    opt = optax.adam(learning_rate)
+    opt = fast_adam(learning_rate)
 
     @jax.jit
     def step(uparams, state):
@@ -123,7 +125,7 @@ def optimize_adam_adapt(log_prob, space: ParamSpace, params: dict, *,
     flat0 = space.flatten_unconstrained(uparams)
 
     def trial(eta):
-        opt = optax.adam(1.0)  # rescale per-eta below
+        opt = fast_adam(1.0)  # rescale per-eta below
 
         def step(carry, _):
             flat, state = carry
@@ -134,7 +136,7 @@ def optimize_adam_adapt(log_prob, space: ParamSpace, params: dict, *,
             return (flat + eta * updates, state), val
 
         (flat, _), vals = jax.lax.scan(
-            step, (flat0, optax.adam(1.0).init(flat0)), None,
+            step, (flat0, fast_adam(1.0).init(flat0)), None,
             length=trial_iter)
         up = space.unflatten_unconstrained(flat)
         return loss(up)
@@ -293,7 +295,7 @@ def _multistart_warmup(log_prob, space: ParamSpace, params: dict, *,
     def flat_loss(u):
         return loss(space.unflatten_unconstrained(u))
 
-    opt = optax.adam(learning_rate)
+    opt = fast_adam(learning_rate)
 
     def run_one(u):
         def step(carry, _):

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..utils.optim import adam as fast_adam
+
 from ..models.parameters import ParamSpace
 
 LOG_2PI = math.log(2.0 * math.pi)
@@ -220,7 +222,7 @@ def fit_klpq(vb, key, *, steps: int = 2000, learning_rate: float = 0.05,
     with q as proposal: w_i = p(z_i)/q(z_i) (normalized, stop-gradiented),
     loss = -sum_i w_i log q(z_i).
     """
-    opt = optax.adam(learning_rate)
+    opt = fast_adam(learning_rate)
     vparams = vb.init
     state = opt.init(vparams)
 
@@ -264,7 +266,7 @@ def fit(vb, key, *, steps: int = 5000, learning_rate: float = 0.02,
     competitive with the reference's in-cache CPU loop. Early stopping then
     happens at chunk granularity (``elbo_every`` is rounded up).
     """
-    opt = optax.adam(learning_rate)
+    opt = fast_adam(learning_rate)
     vparams = vb.init
     state = opt.init(vparams)
 
