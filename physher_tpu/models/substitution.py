@@ -74,7 +74,8 @@ class SubstitutionModel:
 
     def dp_dt(self, params, t):
         Q = self.q(params)
-        return jnp.einsum("...ij,...jk->...ik", self.p_t(params, t), Q)
+        return jnp.einsum("...ij,...jk->...ik", self.p_t(params, t), Q,
+                          precision="highest")
 
 
 def normalize_q(Q: jnp.ndarray, pi: jnp.ndarray) -> jnp.ndarray:
@@ -126,9 +127,11 @@ def _p_t_reversible_jvp(primals, tangents):
                   tb[..., None] * 0.5 * (ei + ej),
                   (ei - ej) / jnp.where(near, 1.0, diff))
 
-    M = Vinv @ dQ @ V                       # [S, S]
-    dP = jnp.einsum("ij,...jk,kl->...il", V, F * M, Vinv)
-    dPdt = jnp.einsum("ij,...j,jk->...ik", V, lam * elt, Vinv)
+    hi = jax.lax.Precision.HIGHEST          # bf16 default loses ~1e-3
+    M = jnp.matmul(jnp.matmul(Vinv, dQ, precision=hi), V, precision=hi)
+    dP = jnp.einsum("ij,...jk,kl->...il", V, F * M, Vinv, precision=hi)
+    dPdt = jnp.einsum("ij,...j,jk->...ik", V, lam * elt, Vinv,
+                      precision=hi)
     dP = dP + dPdt * jnp.asarray(dt)[..., None, None]
     return P, dP
 
@@ -154,35 +157,53 @@ def reversible_eig(Q: jnp.ndarray, pi: jnp.ndarray):
 
 def pt_from_eig(lam, V, Vinv, t) -> jnp.ndarray:
     """P(t) = V exp(lam t) V^-1, batched over leading dims of t
-    (reference: src/phyc/substmodel.c:518-556)."""
+    (reference: src/phyc/substmodel.c:518-556).
+
+    precision=highest: the default TPU matmul precision truncates operands
+    to bf16, and P(t) entries near t=0 are I + O(t) — the reconstruction
+    cancellation amplifies bf16 noise to ~1e-3 ABSOLUTE on off-diagonals
+    that are themselves ~1e-3 (measured). These are S x S matrices; the
+    extra passes are free next to the pruning dots they feed.
+    """
     elt = jnp.exp(lam * t[..., None])  # [..., S]
-    return jnp.einsum("...ij,...j,...jk->...ik", V, elt, Vinv)
+    return jnp.einsum("...ij,...j,...jk->...ik", V, elt, Vinv,
+                      precision="highest")
 
 
-def expm_pade(A: jnp.ndarray) -> jnp.ndarray:
+def expm_pade(A: jnp.ndarray, max_squarings: int = 10) -> jnp.ndarray:
     """Batched scaling-and-squaring Pade(7) matrix exponential.
 
-    Used for non-reversible generators (UNREST/NONSTAT). Fixed 4 squarings
-    keeps the computation static-shape; generators here are normalized so
-    ||A t|| is small for realistic branch lengths.
-    """
+    Used for non-reversible generators (UNREST/NONSTAT). The squaring count
+    is norm-adaptive but static-shape: every input is scaled by
+    ``2**-k`` with ``k = clip(ceil(log2(||A||_inf / 0.5)), 0, max)``
+    computed per batch element in-graph, then ``max_squarings`` fixed
+    squaring slots run with ``where``-masking so only ``k`` of them apply
+    (XLA-friendly replacement for a data-dependent loop count; a long
+    branch or unnormalized generator no longer silently degrades — cf.
+    scipy.linalg.expm's ell-based scaling)."""
     S = A.shape[-1]
     dtype = A.dtype
-    n_squarings = 4
-    A = A / (2.0 ** n_squarings)
+    norm = jnp.max(jnp.sum(jnp.abs(A), axis=-1), axis=-1)  # [...]: inf-norm
+    k = jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / 0.5))
+    k = jnp.clip(k, 0.0, float(max_squarings))             # [...] per batch
+    n_squarings = max_squarings
+    A = A * (2.0 ** -k)[..., None, None]
     b = jnp.asarray(
         [17297280.0, 8648640.0, 1995840.0, 277200.0, 25200.0, 1512.0, 56.0, 1.0],
         dtype=dtype,
     )
     eye = jnp.eye(S, dtype=dtype)
-    A2 = A @ A
-    A4 = A2 @ A2
-    A6 = A4 @ A2
-    U = A @ (b[7] * A6 + b[5] * A4 + b[3] * A2 + b[1] * eye)
+    hi = jax.lax.Precision.HIGHEST  # bf16 default breaks the Pade solve
+    def mm(x, y):
+        return jnp.matmul(x, y, precision=hi)
+    A2 = mm(A, A)
+    A4 = mm(A2, A2)
+    A6 = mm(A4, A2)
+    U = mm(A, b[7] * A6 + b[5] * A4 + b[3] * A2 + b[1] * eye)
     Vm = b[6] * A6 + b[4] * A4 + b[2] * A2 + b[0] * eye
     P = jnp.linalg.solve(Vm - U, Vm + U)
-    for _ in range(n_squarings):
-        P = P @ P
+    for i in range(n_squarings):
+        P = jnp.where((k > i)[..., None, None], mm(P, P), P)
     return P
 
 

@@ -260,7 +260,8 @@ class TreeLikelihood:
         import os
 
         from ..ops.pallas_fused import (
-            TILE, fused_vmem_estimate, pick_B)
+            TILE, TILE_CSPLIT, _needs_csplit, fused_vmem_estimate,
+            pad_states, pick_B)
 
         if os.environ.get("PHYSHER_TPU_ENGINE") not in (None, "", "fused"):
             return False
@@ -274,13 +275,19 @@ class TreeLikelihood:
             self.site_model.param_space().init_params())[1])
         S = self.tip_partials.shape[1]
         maxc = int(self.topo.child_count.max())
-        # auto for the TPU-validated nucleotide case; other state counts
-        # opt in with engine="pallas-fused"
-        if S != 4 or maxc != 2:
+        if maxc != 2:  # polytomies opt in with engine="pallas-fused"
+            return False
+        B = pick_B(self.topo)
+        if _needs_csplit(C, S):
+            # protein/codon: category-split grid, state-padded blocks
+            return fused_vmem_estimate(
+                self.topo, 1, pad_states(S), B, backward=True,
+                tile=TILE_CSPLIT) < 13 << 20
+        if S != 4:
             return False
         while (C * S) % 8:  # fused_site_log pads categories to 8 sublanes
             C += 1
-        return fused_vmem_estimate(self.topo, C, S, pick_B(self.topo),
+        return fused_vmem_estimate(self.topo, C, S, B,
                                    backward=True) < 13 << 20
 
     def _pallas_staged_fits(self) -> bool:

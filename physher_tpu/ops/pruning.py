@@ -60,7 +60,8 @@ def pruning_partials(tip_partials: jnp.ndarray, pmats: jnp.ndarray,
             ch_safe = np.where(mask, ch, 0)
             pm = pmats[ch_safe]  # [n, C, S, S]
             cp = buf[ch_safe]    # [n, C, S, P]
-            contrib = jnp.einsum("ncij,ncjp->ncip", pm, cp)
+            contrib = jnp.einsum("ncij,ncjp->ncip", pm, cp,
+                                 precision="high")
             if not mask.all():
                 m = jnp.asarray(mask, dtype=dtype)[:, None, None, None]
                 contrib = contrib * m + (1.0 - m)
@@ -86,8 +87,9 @@ def root_log_likelihood(root_partials: jnp.ndarray, freqs: jnp.ndarray,
     The weighted sum is the data-parallel reduction point (psum across a
     sharded pattern axis; reference: src/phyc/treelikelihood.c:1483-1486).
     """
-    site_l = jnp.einsum("s,csp->cp", freqs, root_partials)
-    site_lik = jnp.einsum("c,cp->p", props, site_l)
+    site_l = jnp.einsum("s,csp->cp", freqs, root_partials,
+                        precision="high")
+    site_lik = jnp.einsum("c,cp->p", props, site_l, precision="high")
     site_log = jnp.log(site_lik)
     if log_scalers is not None:
         site_log = site_log + log_scalers

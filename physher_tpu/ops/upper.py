@@ -46,7 +46,7 @@ def upper_partials(lower: jnp.ndarray, pmats: jnp.ndarray, topo: Topology,
             ch_safe = np.where(mask, ch, 0)
             pm = pmats[ch_safe]
             lo = lower[ch_safe]
-            c = jnp.einsum("ncij,ncjp->ncip", pm, lo)
+            c = jnp.einsum("ncij,ncjp->ncip", pm, lo, precision="high")
             if not mask.all():
                 m = jnp.asarray(mask, dtype=dtype)[:, None, None, None]
                 c = c * m + (1.0 - m)
@@ -72,13 +72,15 @@ def upper_partials(lower: jnp.ndarray, pmats: jnp.ndarray, topo: Topology,
 def node_marginals(lower, upper, props, weights=None):
     """Posterior state probabilities per node/site: [N, S, P]
     (reference: src/phyc/asr.c marginal ASR from upper*lower)."""
-    joint = jnp.einsum("c,ncsp->nsp", props, lower * upper)
+    joint = jnp.einsum("c,ncsp->nsp", props, lower * upper,
+                       precision="high")
     total = joint.sum(1, keepdims=True)
     return joint / total
 
 
 def site_category_posteriors(lower_root, upper_root_freqs, props):
     """P(category | site): [C, P] (reference: src/phyc/ppsites.c:16-30)."""
-    site_l = jnp.einsum("s,csp->cp", upper_root_freqs, lower_root)
+    site_l = jnp.einsum("s,csp->cp", upper_root_freqs, lower_root,
+                        precision="high")
     joint = props[:, None] * site_l
     return joint / joint.sum(0, keepdims=True)

@@ -25,6 +25,7 @@ steps instead of the reference's per-node recursion.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,9 +96,14 @@ def heights_from_ratios(params: jnp.ndarray, topo: Topology,
         # exact-zero ratios would make logR[-inf]-logR[-inf] = nan in W;
         # the clamp is below f32 resolution of the transform output
         r = jnp.maximum(params[: I - 1], jnp.finfo(dtype).tiny)
-        logR = A @ jnp.log(r)
+        # precision=highest: the default TPU matmul precision truncates to
+        # bf16; logR feeds exp() so absolute matvec error becomes relative
+        # height error (measured ~1e-4 heights drift at bf16)
+        hi = jax.lax.Precision.HIGHEST
+        logR = jnp.matmul(A, jnp.log(r), precision=hi)
         W = jnp.exp(logR[:, None] - logR[None, :]) * A
-        h_int = W @ (lows * (1.0 - r)) + jnp.exp(logR) * H
+        h_int = (jnp.matmul(W, lows * (1.0 - r), precision=hi)
+                 + jnp.exp(logR) * H)
         return jnp.concatenate([tips, h_int, H[None].astype(dtype)])
     h = jnp.zeros(topo.N, dtype=dtype)
     h = h.at[: topo.T].set(tips)
@@ -175,8 +181,9 @@ def heights_from_shifts(params: jnp.ndarray, topo: Topology,
         anc = jnp.asarray(anc, dtype=dtype)
         tip_anc = jnp.asarray(tip_anc, dtype=dtype)
         desc = jnp.asarray(desc_tip, dtype=dtype)
-        U = anc @ params                       # [I]
-        U_tip = tip_anc @ params               # [T]
+        hi = jax.lax.Precision.HIGHEST         # bf16 default drifts heights
+        U = jnp.matmul(anc, params, precision=hi)        # [I]
+        U_tip = jnp.matmul(tip_anc, params, precision=hi)  # [T]
         val = tips + U_tip                     # [T]
         best = jnp.max(jnp.where(desc > 0, val[None, :], -jnp.inf), axis=1)
         h_int = best - U + params

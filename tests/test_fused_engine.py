@@ -108,6 +108,56 @@ def test_value_and_grad_jits():
     assert np.isfinite(np.asarray(grad)).all()
 
 
+@pytest.mark.parametrize("S,C,dt_name,n_tips", [
+    (20, 4, "aminoacid", 12),   # WAG+G4 shape: category-split grid
+    (61, 1, "codon", 8),        # codon M0: states padded 61 -> 64
+])
+def test_csplit_parity(S, C, dt_name, n_tips):
+    """Category-split mode (protein/codon state spaces): forward + gradient
+    parity with the XLA engine. Reference kernels being replaced:
+    src/phyc/treelikelihood20.c, src/phyc/treelikelihoodCodon.c."""
+    topo = balanced_topology(n_tips)
+    sp = random_sitepattern(n_tips, 100, seed=3, datatype=dt_name)
+    P = pad_patterns(sp.pattern_count, TILE)
+    tips = sp.tip_partials(pad_to=P, dtype=np.float32)
+    order = [sp.taxa.index(t) for t in topo.taxa]
+    tips = jnp.asarray(tips[order])
+    rng = np.random.default_rng(0)
+    Q = rng.random((topo.N, C, S, S)).astype(np.float32) + 0.1
+    pm = jnp.asarray(Q / Q.sum(-1, keepdims=True))
+    fr = rng.random(S).astype(np.float32)
+    fr = jnp.asarray(fr / fr.sum())
+    pr = jnp.asarray((np.arange(1, C + 1) / (C * (C + 1) / 2)
+                      ).astype(np.float32))
+    w = jnp.asarray(np.asarray(sp.padded_weights(P), np.float32))
+
+    from physher_tpu.ops.pallas_fused import _needs_csplit
+    assert _needs_csplit(C, S)
+
+    ll_x, sl_x = tree_log_likelihood(tips, pm, topo, fr, pr, w, rescale=True)
+    ll_f, sl_f = fused_tree_log_likelihood(tips, pm, topo, fr, pr, w,
+                                           interpret=True)
+    np.testing.assert_allclose(float(ll_f), float(ll_x), rtol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(sl_f)[np.asarray(w) > 0],
+        np.asarray(sl_x)[np.asarray(w) > 0], rtol=5e-5, atol=1e-5)
+
+    def f_f(pm_, fr_, pr_):
+        return fused_tree_log_likelihood(tips, pm_, topo, fr_, pr_, w,
+                                         interpret=True)[0]
+
+    def f_x(pm_, fr_, pr_):
+        return tree_log_likelihood(tips, pm_, topo, fr_, pr_, w,
+                                   rescale=True)[0]
+
+    gf = jax.grad(f_f, argnums=(0, 1, 2))(pm, fr, pr)
+    gx = jax.grad(f_x, argnums=(0, 1, 2))(pm, fr, pr)
+    for a, b in zip(gf, gx):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        np.testing.assert_allclose(a, b, rtol=5e-4,
+                                   atol=1e-4 * max(1.0, np.abs(b).max()))
+
+
 def test_pick_b_and_vmem():
     lad = _caterpillar_topology(16)
     bal = balanced_topology(16)
