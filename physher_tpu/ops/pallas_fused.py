@@ -198,15 +198,19 @@ def build_fused_forward(topo: Topology, C: int, S: int, P: int, *,
     if n_cat:
         assert C == 1
         grid = (n_cat, n_tiles)
+        # the category axis rides as a squeezed (None) leading block dim:
+        # a (1, CS) block over a (n_cat, CS) array violates Mosaic's
+        # second-to-minor divisibility rule, so rootw/site_log carry an
+        # explicit singleton row axis instead
         in_specs = [
             pl.BlockSpec((n_steps, R), lambda c, t, *_: (0, 0)),
             pl.BlockSpec((T, S, tile), lambda c, t, *_: (0, 0, t)),
             pl.BlockSpec((None, n_steps, maxc, Rb, Rb),
                          lambda c, t, *_: (c, 0, 0, 0, 0)),
-            pl.BlockSpec((1, CS), lambda c, t, *_: (c, 0)),
+            pl.BlockSpec((None, 1, CS), lambda c, t, *_: (c, 0, 0)),
         ]
-        out_spec = pl.BlockSpec((1, tile), lambda c, t, *_: (c, t))
-        out_shape = jax.ShapeDtypeStruct((n_cat, P), dtype)
+        out_spec = pl.BlockSpec((None, 1, tile), lambda c, t, *_: (c, 0, t))
+        out_shape = jax.ShapeDtypeStruct((n_cat, 1, P), dtype)
         semantics = ("parallel", "parallel")
     else:
         grid = (n_tiles,)
@@ -246,9 +250,10 @@ def build_fused_forward(topo: Topology, C: int, S: int, P: int, *,
     valid_j = jnp.asarray(pn["validf"], dtype)
 
     def fn(tips, blockP, rootw):
+        rw = rootw.reshape(n_cat, 1, CS) if n_cat else rootw
         out = call(tipcons_j, nodecons_j, zrows_j, valid_j, tips, blockP,
-                   rootw)
-        return out if n_cat else out[0]
+                   rw)
+        return out[:, 0] if n_cat else out[0]
 
     return fn, sched
 
@@ -354,22 +359,25 @@ def build_fused_backward(topo: Topology, C: int, S: int, P: int, *,
         kernel = partial(_fused_bwd_kernel, C, S, B, maxc, n_steps, T,
                          pn["n_zero"], tile, 1)
         grid = (n_cat, n_tiles)
+        # same squeezed-category-axis trick as the forward: (1, CS)/(1, tile)
+        # blocks over (n_cat, ...) arrays violate Mosaic's second-to-minor
+        # rule, so rootw/g/drootw carry an explicit singleton row axis
         in_specs = [
             pl.BlockSpec((n_steps, R), lambda c, t, *_: (0, 0)),
             pl.BlockSpec((T, S, tile), lambda c, t, *_: (0, 0, t)),
             pl.BlockSpec((None, n_steps, maxc, Rb, Rb),
                          lambda c, t, *_: (c, 0, 0, 0, 0)),
-            pl.BlockSpec((1, CS), lambda c, t, *_: (c, 0)),
-            pl.BlockSpec((1, tile), lambda c, t, *_: (c, t)),
+            pl.BlockSpec((None, 1, CS), lambda c, t, *_: (c, 0, 0)),
+            pl.BlockSpec((None, 1, tile), lambda c, t, *_: (c, 0, t)),
         ]
         out_specs = [
             pl.BlockSpec((None, n_steps, maxc, Rb, Rb),
                          lambda c, t, *_: (c, 0, 0, 0, 0)),
-            pl.BlockSpec((1, CS), lambda c, t, *_: (c, 0)),
+            pl.BlockSpec((None, 1, CS), lambda c, t, *_: (c, 0, 0)),
         ]
         out_shape = [
             jax.ShapeDtypeStruct((n_cat, n_steps, maxc, Rb, Rb), dtype),
-            jax.ShapeDtypeStruct((n_cat, CS), dtype),
+            jax.ShapeDtypeStruct((n_cat, 1, CS), dtype),
         ]
         semantics = ("parallel", "arbitrary")
     else:
@@ -421,9 +429,14 @@ def build_fused_backward(topo: Topology, C: int, S: int, P: int, *,
     valid_j = jnp.asarray(pn["validf"], dtype)
 
     def fn(tips, blockP, rootw, g):
-        g2 = g.reshape(n_cat, P) if n_cat else g.reshape(1, P)
+        if n_cat:
+            rw = rootw.reshape(n_cat, 1, CS)
+            g2 = g.reshape(n_cat, 1, P)
+        else:
+            rw = rootw
+            g2 = g.reshape(1, P)
         dblockP, drootw = call(tipcons_j, nodecons_j, zrows_j, valid_j,
-                               tips, blockP, rootw, g2)
+                               tips, blockP, rw, g2)
         return dblockP, drootw
 
     return fn, sched
