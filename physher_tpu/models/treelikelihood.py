@@ -33,6 +33,33 @@ from .substitution import SubstitutionModel
 _ENGINE_OVERRIDE: list = []
 
 
+def _is_batch_traced(x) -> bool:
+    """True when ``x`` carries a ``vmap`` batch dimension (possibly beneath
+    other transform tracers, e.g. ``vmap(grad(f))``).
+
+    The Pallas engines do not batch correctly: ``vmap`` of a
+    scalar-prefetch ``pallas_call`` silently miscomputes (measured ~54 logP
+    units off on the fluA time tree), so batched calls must fall back to
+    the level-batched XLA engine — which is also the faster engine at
+    MCMC-chain batch sizes (64 chains: 790us vs 1120us per call on v5e).
+    """
+    from jax._src.interpreters.batching import BatchTracer
+
+    seen = 0
+    while isinstance(x, jax.core.Tracer) and seen < 16:
+        if isinstance(x, BatchTracer):
+            return True
+        for attr in ("primal", "val"):
+            inner = getattr(x, attr, None)
+            if inner is not None:
+                x = inner
+                break
+        else:
+            return False
+        seen += 1
+    return False
+
+
 class engine_override:
     """Force a pruning engine for every TreeLikelihood within the block.
 
@@ -369,6 +396,8 @@ class TreeLikelihood:
         pmats = self.subst.p_t(params, blc)  # [N, C, S, S]
         freqs = self.subst.frequencies(params)
         engine = self._engine()
+        if engine is not tree_log_likelihood and _is_batch_traced(pmats):
+            engine = tree_log_likelihood
         return engine(
             self.tip_partials, pmats.astype(self.dtype), self.topo,
             freqs.astype(self.dtype), props.astype(self.dtype), self.weights,
