@@ -33,33 +33,6 @@ from .substitution import SubstitutionModel
 _ENGINE_OVERRIDE: list = []
 
 
-def _is_batch_traced(x) -> bool:
-    """True when ``x`` carries a ``vmap`` batch dimension (possibly beneath
-    other transform tracers, e.g. ``vmap(grad(f))``).
-
-    The Pallas engines do not batch correctly: ``vmap`` of a
-    scalar-prefetch ``pallas_call`` silently miscomputes (measured ~54 logP
-    units off on the fluA time tree), so batched calls must fall back to
-    the level-batched XLA engine — which is also the faster engine at
-    MCMC-chain batch sizes (64 chains: 790us vs 1120us per call on v5e).
-    """
-    from jax._src.interpreters.batching import BatchTracer
-
-    seen = 0
-    while isinstance(x, jax.core.Tracer) and seen < 16:
-        if isinstance(x, BatchTracer):
-            return True
-        for attr in ("primal", "val"):
-            inner = getattr(x, attr, None)
-            if inner is not None:
-                x = inner
-                break
-        else:
-            return False
-        seen += 1
-    return False
-
-
 class engine_override:
     """Force a pruning engine for every TreeLikelihood within the block.
 
@@ -67,6 +40,8 @@ class engine_override:
     laplace_marginal): the Pallas engines' custom-VJP backward kernels are
     not themselves differentiable, so jax.jacrev(jax.grad(f)) needs the
     plain XLA engine. Example: ``with engine_override("xla"): ...``.
+    Every engine name is honored ("xla", "pallas-fused", "pallas-staged",
+    "pallas-loop", "auto"), bypassing the auto-selection VMEM gates.
     """
 
     def __init__(self, name: str):
@@ -98,7 +73,7 @@ class TreeLikelihood:
                  distances_init: np.ndarray = None,
                  include_jacobian: bool = False, tipstates: bool = False,
                  use_ambiguities: bool = True, rescale: bool | None = None,
-                 pattern_pad_multiple: int = 1, prefix: str = "tree.",
+                 pattern_pad_multiple: int | None = None, prefix: str = "tree.",
                  dtype=None, engine: str = "auto",
                  height_transform: str = "ratio"):
         if site_model is None:
@@ -142,6 +117,13 @@ class TreeLikelihood:
 
         # order site-pattern rows to match tip ids
         order = [site_pattern.taxa.index(t) for t in topo.taxa]
+        if pattern_pad_multiple is None:
+            # f32 runs (TPU): pad to the Pallas TILE so small alignments
+            # (fluA: 238 patterns) reach the fused kernel; the pad columns
+            # carry zero weight, exact. f64 (CPU golden runs) keeps exact
+            # pattern counts.
+            pattern_pad_multiple = (
+                256 if jnp.dtype(self.dtype).itemsize == 4 else 1)
         self._P = pad_patterns(site_pattern.pattern_count, pattern_pad_multiple)
         tp = site_pattern.tip_partials(
             tipstates=tipstates or not use_ambiguities, pad_to=self._P,
@@ -211,15 +193,20 @@ class TreeLikelihood:
         return jnp.concatenate([dist, jnp.zeros(1, dist.dtype)])
 
     def _engine(self):
-        """Select the pruning engine: the loop-based Pallas TPU kernel when
-        it fits (ops/pallas_pruning_loop.py — whole postorder in VMEM per
-        pattern tile, constant program size, analytic rematerializing VJP),
-        the unrolled Pallas kernel on request (ops/pallas_pruning.py), else
-        the level-batched XLA path (ops/pruning.py)."""
-        if _ENGINE_OVERRIDE and _ENGINE_OVERRIDE[-1] == "xla":
+        """Select the pruning engine: the fused whole-postorder-in-VMEM
+        Pallas kernel when it fits (ops/pallas_fused.py — batch-capable via
+        its custom_vmap rules), the staged block-diagonal kernel
+        (ops/pallas_staged.py) for shapes past the fused VMEM gate, the
+        loop kernel (ops/pallas_pruning_loop.py) past that, else the
+        level-batched XLA path (ops/pruning.py). An ``engine_override``
+        block or ``engine=`` constructor argument forces any of them."""
+        name = self.engine
+        if _ENGINE_OVERRIDE:
+            name = _ENGINE_OVERRIDE[-1]
+        if name == "xla":
             return tree_log_likelihood
-        if self.engine == "pallas-fused" or (
-                self.engine == "auto" and self._pallas_fused_fits()):
+        if name == "pallas-fused" or (
+                name == "auto" and self._pallas_fused_fits()):
             interpret = jax.default_backend() != "tpu"
             from ..ops.pallas_fused import fused_tree_log_likelihood
             if self.mesh is not None:
@@ -233,8 +220,8 @@ class TreeLikelihood:
                     rescale=rescale, interpret=interpret)
 
             return run
-        if self.engine == "pallas-staged" or (
-                self.engine == "auto" and self._pallas_staged_fits()):
+        if name == "pallas-staged" or (
+                name == "auto" and self._pallas_staged_fits()):
             interpret = jax.default_backend() != "tpu"
             from ..ops.pallas_staged import staged_tree_log_likelihood
             if self.mesh is not None:
@@ -248,8 +235,8 @@ class TreeLikelihood:
                     rescale=rescale, interpret=interpret)
 
             return run
-        if self.engine == "pallas-loop" or (
-                self.engine == "auto" and self._pallas_loop_fits()):
+        if name == "pallas-loop" or (
+                name == "auto" and self._pallas_loop_fits()):
             interpret = jax.default_backend() != "tpu"
             if self.mesh is not None:
                 from ..parallel.mesh import shard_map_loop_engine
@@ -261,17 +248,6 @@ class TreeLikelihood:
                 return loop_tree_log_likelihood(
                     tips, pmats, topo, freqs, props, weights,
                     rescale=rescale, interpret=interpret)
-
-            return run
-        if self.engine == "pallas" or (
-                self.engine == "auto" and self._pallas_fits()):
-            from ..ops.pallas_pruning import pallas_tree_log_likelihood
-
-            def run(tips, pmats, topo, freqs, props, weights, rescale):
-                return pallas_tree_log_likelihood(
-                    tips, pmats, topo, freqs, props, weights,
-                    rescale=rescale,
-                    interpret=jax.default_backend() != "tpu")
 
             return run
         return tree_log_likelihood
@@ -286,9 +262,7 @@ class TreeLikelihood:
     def _pallas_fused_fits(self) -> bool:
         import os
 
-        from ..ops.pallas_fused import (
-            TILE, TILE_CSPLIT, _needs_csplit, fused_vmem_estimate,
-            pad_states, pick_B)
+        from ..ops.pallas_fused import fused_plan
 
         if os.environ.get("PHYSHER_TPU_ENGINE") not in (None, "", "fused"):
             return False
@@ -296,26 +270,17 @@ class TreeLikelihood:
             return False
         if jax.config.jax_enable_x64:
             return False
-        if jnp.dtype(self.dtype).itemsize != 4 or self._shard_P() % TILE:
+        if jnp.dtype(self.dtype).itemsize != 4:
+            return False
+        maxc = int(self.topo.child_count.max())
+        if maxc != 2:  # polytomies opt in with engine="pallas-fused"
             return False
         C = len(self.site_model.rates_props(
             self.site_model.param_space().init_params())[1])
         S = self.tip_partials.shape[1]
-        maxc = int(self.topo.child_count.max())
-        if maxc != 2:  # polytomies opt in with engine="pallas-fused"
+        if not (S == 4 or S >= 16):  # 4=nucleotide packed; >=16 csplit
             return False
-        B = pick_B(self.topo)
-        if _needs_csplit(C, S):
-            # protein/codon: category-split grid, state-padded blocks
-            return fused_vmem_estimate(
-                self.topo, 1, pad_states(S), B, backward=True,
-                tile=TILE_CSPLIT) < 13 << 20
-        if S != 4:
-            return False
-        while (C * S) % 8:  # fused_site_log pads categories to 8 sublanes
-            C += 1
-        return fused_vmem_estimate(self.topo, C, S, B,
-                                   backward=True) < 13 << 20
+        return fused_plan(self.topo, C, S, self._shard_P()) is not None
 
     def _pallas_staged_fits(self) -> bool:
         import os
@@ -370,25 +335,6 @@ class TreeLikelihood:
         return vmem_estimate_loop(self.topo.N, C, S, backward=True,
                                   n_tips=self.topo.T) < 10 << 20
 
-    def _pallas_fits(self) -> bool:
-        import os
-
-        from ..ops.pallas_pruning import TILE, vmem_estimate
-
-        # conservative default: the fused kernel is opt-in
-        # (PHYSHER_TPU_ENGINE=pallas or engine="pallas") until its Mosaic
-        # compile time is validated on the target TPU generation
-        if os.environ.get("PHYSHER_TPU_ENGINE") != "pallas":
-            return False
-        if jax.default_backend() != "tpu":
-            return False
-        if jnp.dtype(self.dtype).itemsize != 4 or self._P % TILE:
-            return False
-        C = len(self.site_model.rates_props(
-            self.site_model.param_space().init_params())[1])
-        S = self.tip_partials.shape[1]
-        return vmem_estimate(self.topo.N, C, S, backward=True) < 10 << 20
-
     def _run_engine(self, params):
         bl = self.branch_lengths(params)
         rates, props = self.site_model.rates_props(params)
@@ -396,8 +342,6 @@ class TreeLikelihood:
         pmats = self.subst.p_t(params, blc)  # [N, C, S, S]
         freqs = self.subst.frequencies(params)
         engine = self._engine()
-        if engine is not tree_log_likelihood and _is_batch_traced(pmats):
-            engine = tree_log_likelihood
         return engine(
             self.tip_partials, pmats.astype(self.dtype), self.topo,
             freqs.astype(self.dtype), props.astype(self.dtype), self.weights,

@@ -15,20 +15,25 @@ as a ``fori_loop`` INSIDE the kernel instead of a grid axis:
   VMEM for the whole sweep — the backward REMATERIALIZES the forward
   instead of spilling partials through HBM (the staged kernel's spill was
   ~2x the useful HBM traffic of the whole computation);
-- **megacore**: the tile axis is marked ``parallel`` in the forward, so the
-  two v5e cores split tiles; the backward accumulates dblockP across tiles
-  and stays ``arbitrary``;
-- **per-tree block size**: ``pick_B`` chooses B from the level-packing
-  efficiency, so ladder trees (fluA) use small dots at full occupancy while
-  balanced trees batch 8 nodes into MXU-native [128, 128] operands.
+- **megacore**: the leading (instance) and tile axes are ``parallel`` in
+  the forward, so the two v5e cores split the grid; the backward keeps the
+  tile axis ``arbitrary`` (it accumulates dblockP across tiles).
 
-Large state spaces (protein S=20, codon S=61 — the reference's biggest
-kernels, src/phyc/treelikelihood20.c / treelikelihoodCodon.c) use the
-**category-split** mode: rate categories become a second (parallel) grid
-axis, each instance runs the same kernel with C=1 on state-padded blocks
-(20->24, 61->64 zero-padded rows/cols), and the per-category site values
-combine in a logsumexp outside the kernel. This keeps every per-tile
-buffer under VMEM where the packed C*S layout would blow past it.
+Every kernel instance carries a **leading grid axis L** indexing
+independent (blockP, rootw) sets over shared tips. The axis serves two
+roles:
+
+- **category-split** mode (protein S=20, codon S=61 — the reference's
+  biggest kernels, src/phyc/treelikelihood20.c / treelikelihoodCodon.c):
+  rate categories run as L instances of a C=1 kernel on state-padded
+  blocks (20->24, 61->64), combined by a logsumexp outside; this keeps
+  per-tile buffers under VMEM where a packed C*S layout would blow past;
+- **batch** mode: vmapped likelihoods (MCMC chains, tempered ladders,
+  eta search, GA fitness) batch into the same axis via the
+  ``jax.custom_batching.custom_vmap`` rules on the kernel entry points —
+  vmap of a raw scalar-prefetch ``pallas_call`` miscomputes on TPU, so
+  batching is intercepted structurally (works under any jit nesting,
+  replacing the round-3 tracer sniffing) and lowered to a batched grid.
 
 Gradient math is the reference's O(N) upper-partials sweep
 (treelikelihood.c:2129-3100) as cotangents of the staged values, identical
@@ -50,6 +55,17 @@ from .pallas_staged import _plan, build_block_pmats, staged_schedule
 TILE = 256
 TILE_CSPLIT = 128
 
+# Mosaic lowers f32 jnp.dot at DEFAULT precision to a single bf16 MXU pass
+# (measured 1.5e-3 relative error; ~54 logP units on the fluA time tree —
+# the true source of the round-3 "vmap miscompute"). HIGHEST = 6-pass
+# bf16 expansion, true-f32 accurate (2.4e-7), near-identical latency on
+# the bandwidth-bound pruning shapes.
+_MXU_PRECISION = jax.lax.Precision.HIGHEST
+
+# per-instance VMEM budget for the auto gates (v5e/v5p have ~16 MB more
+# headroom is needed for Mosaic's own spill margins)
+VMEM_BUDGET = 13 << 20
+
 
 def pick_B(topo: Topology, candidates=(8, 4, 2, 1), min_eff: float = 0.6):
     """Largest step block size whose level packing wastes <40% of slots."""
@@ -64,6 +80,14 @@ def pick_B(topo: Topology, candidates=(8, 4, 2, 1), min_eff: float = 0.6):
 def pad_states(S: int) -> int:
     """States padded to the 8-sublane boundary (20 -> 24, 61 -> 64)."""
     return -(-S // 8) * 8
+
+
+def pad_categories(C: int, S: int) -> int:
+    """Categories padded (with zero-weight copies) until C*S is a multiple
+    of the 8-sublane boundary."""
+    while (C * S) % 8:
+        C += 1
+    return C
 
 
 def fused_vmem_estimate(topo: Topology, C: int, S: int, B: int,
@@ -86,6 +110,52 @@ def fused_vmem_estimate(topo: Topology, C: int, S: int, B: int,
     gbuf = (n_steps + 1) * R * tile * 4
     minv = n_steps * B * tile * 4
     return base + gbuf + minv + blockP  # dblockP accumulator = blockP size
+
+
+def _needs_csplit(C: int, S: int) -> bool:
+    """Packed rows need C*S % 8 == 0 with tolerable padding; odd S (61)
+    can never satisfy it by padding categories, and big C*S blows VMEM."""
+    if S <= 8:
+        return False
+    CS = C * S
+    while CS % 8:
+        CS += S
+    return CS > 64 or S % 2
+
+
+def fused_plan(topo: Topology, C: int, S: int, P: int, *,
+               backward: bool = True, budget: int = VMEM_BUDGET,
+               min_eff: float = 0.6):
+    """Pick (B, tile, csplit) for the fused kernel, or None if nothing fits.
+
+    Candidates are tried largest-tile-first (fewer grid steps, better
+    pipelining), then largest node-block B whose level packing is efficient
+    AND whose per-instance VMEM fits ``budget``; if no efficient B fits,
+    any fitting B is accepted (small dots beat no kernel). Codon (S=64
+    padded) lands on B=1-2 this way — [64..128]-wide MXU dots with a VMEM
+    footprint ~10x below the packed-B=8 layout that failed the round-3
+    gate.
+    """
+    csplit = _needs_csplit(C, S)
+    if csplit:
+        Ck, Sk = 1, pad_states(S)
+        tiles = (TILE_CSPLIT, TILE)
+    else:
+        Ck, Sk = pad_categories(C, S), S
+        tiles = (TILE, TILE_CSPLIT)
+    for require_eff in (True, False):
+        for tile in tiles:
+            if P % tile:
+                continue
+            for B in (8, 4, 2, 1):
+                if require_eff:
+                    n_steps = sum(-(-len(r) // B) for r in topo.levels)
+                    if topo.I / (n_steps * B) < min_eff:
+                        continue
+                if fused_vmem_estimate(topo, Ck, Sk, B, backward=backward,
+                                       tile=tile) < budget:
+                    return dict(B=B, tile=tile, csplit=csplit)
+    return None
 
 
 # --------------------------------------------------------------------------
@@ -130,7 +200,8 @@ def _fwd_body(C, S, B, maxc, n_steps, T, n_zero, tile,
         res = None
         for j in range(maxc):
             stacked = stage[s, pl.ds(j * Rb, Rb)]      # [Rb, tile]
-            contrib = jnp.dot(bp[j], stacked, preferred_element_type=f32)
+            contrib = jnp.dot(bp[j], stacked, preferred_element_type=f32,
+                          precision=_MXU_PRECISION)
             v = v_all[j * Rb:(j + 1) * Rb][:, None]    # [Rb, 1]
             contrib = contrib * v + (1.0 - v)
             res = contrib if res is None else res * contrib
@@ -165,28 +236,25 @@ def _fused_fwd_kernel(C, S, B, maxc, n_steps, T, n_zero, tile,
               tipcons_ref, nodecons_ref, zrows_ref,
               valid_ref, tips_ref, blockP_ref, rootw_ref, stage, scal_acc)
     rp = stage[n_steps, pl.ds(0, CS)]                  # [CS, tile]
-    site = jnp.dot(rootw_ref[:], rp, preferred_element_type=f32)[0]
+    site = jnp.dot(rootw_ref[:], rp, preferred_element_type=f32,
+                          precision=_MXU_PRECISION)[0]
     site = jnp.maximum(site, jnp.finfo(f32).tiny)
     site_log_ref[0, :] = jnp.log(site) + scal_acc[0, :]
 
 
-def build_fused_forward(topo: Topology, C: int, S: int, P: int, *,
-                        B: int = None, interpret: bool = False,
-                        dtype=jnp.float32, tile: int = TILE,
-                        n_cat: int = 0):
-    """Returns (fn(tips [T,S,P], blockP, rootw) -> site_log, sched).
+def build_fused_forward(topo: Topology, C: int, S: int, P: int, L: int, *,
+                        B: int = 8, interpret: bool = False,
+                        dtype=jnp.float32, tile: int = TILE):
+    """Returns (fn(tips [T,S,P], blockP [L,n_steps,maxc,Rb,Rb],
+    rootw [L,1,CS]) -> site_log [L,P], sched).
 
-    ``n_cat = 0``: packed mode — blockP [n_steps, maxc, Rb, Rb] with
-    C categories inside the block rows, site_log [P].
-    ``n_cat > 0``: category-split mode — C must be 1, blockP has a leading
-    [n_cat] axis, rootw is [n_cat, S], site_log is [n_cat, P] per-category
-    (log of the prop-weighted category site likelihood + its scale log).
+    ``L`` is the leading grid axis: independent kernel instances over
+    shared tips — rate categories in category-split mode, likelihood
+    batches (vmapped chains/ladders), or their product.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if B is None:
-        B = pick_B(topo)
     sched, pn = _plan(topo, C, S, B)
     maxc, n_steps, CS, Rb, R, T = (pn["maxc"], pn["n_steps"], pn["CS"],
                                    pn["Rb"], pn["R"], pn["T"])
@@ -195,40 +263,21 @@ def build_fused_forward(topo: Topology, C: int, S: int, P: int, *,
     kernel = partial(_fused_fwd_kernel, C, S, B, maxc, n_steps, T,
                      pn["n_zero"], tile)
 
-    if n_cat:
-        assert C == 1
-        grid = (n_cat, n_tiles)
-        # the category axis rides as a squeezed (None) leading block dim:
-        # a (1, CS) block over a (n_cat, CS) array violates Mosaic's
-        # second-to-minor divisibility rule, so rootw/site_log carry an
-        # explicit singleton row axis instead
-        in_specs = [
-            pl.BlockSpec((n_steps, R), lambda c, t, *_: (0, 0)),
-            pl.BlockSpec((T, S, tile), lambda c, t, *_: (0, 0, t)),
-            pl.BlockSpec((None, n_steps, maxc, Rb, Rb),
-                         lambda c, t, *_: (c, 0, 0, 0, 0)),
-            pl.BlockSpec((None, 1, CS), lambda c, t, *_: (c, 0, 0)),
-        ]
-        out_spec = pl.BlockSpec((None, 1, tile), lambda c, t, *_: (c, 0, t))
-        out_shape = jax.ShapeDtypeStruct((n_cat, 1, P), dtype)
-        semantics = ("parallel", "parallel")
-    else:
-        grid = (n_tiles,)
-        in_specs = [
-            pl.BlockSpec((n_steps, R), lambda t, *_: (0, 0)),
-            pl.BlockSpec((T, S, tile), lambda t, *_: (0, 0, t)),
-            pl.BlockSpec((n_steps, maxc, Rb, Rb), lambda t, *_: (0, 0, 0, 0)),
-            pl.BlockSpec((1, CS), lambda t, *_: (0, 0)),
-        ]
-        out_spec = pl.BlockSpec((1, tile), lambda t, *_: (0, t))
-        out_shape = jax.ShapeDtypeStruct((1, P), dtype)
-        semantics = ("parallel",)
-
+    # the leading axis rides as a squeezed (None) block dim: a (1, CS)
+    # block over an (L, CS) array violates Mosaic's second-to-minor
+    # divisibility rule, so rootw/site_log carry an explicit singleton
+    # row axis instead
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,            # tipcons, nodecons, zrows
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_spec,
+        grid=(L, n_tiles),
+        in_specs=[
+            pl.BlockSpec((n_steps, R), lambda l, t, *_: (0, 0)),
+            pl.BlockSpec((T, S, tile), lambda l, t, *_: (0, 0, t)),
+            pl.BlockSpec((None, n_steps, maxc, Rb, Rb),
+                         lambda l, t, *_: (l, 0, 0, 0, 0)),
+            pl.BlockSpec((None, 1, CS), lambda l, t, *_: (l, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, 1, tile), lambda l, t, *_: (l, 0, t)),
         scratch_shapes=[
             pltpu.VMEM((n_steps + 1, R, tile), dtype),
             pltpu.VMEM((1, tile), dtype),
@@ -238,10 +287,10 @@ def build_fused_forward(topo: Topology, C: int, S: int, P: int, *,
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=jax.ShapeDtypeStruct((L, 1, P), dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=semantics),
+            dimension_semantics=("parallel", "parallel")),
     )
 
     tipcons_j = jnp.asarray(pn["tipcons"])
@@ -250,10 +299,9 @@ def build_fused_forward(topo: Topology, C: int, S: int, P: int, *,
     valid_j = jnp.asarray(pn["validf"], dtype)
 
     def fn(tips, blockP, rootw):
-        rw = rootw.reshape(n_cat, 1, CS) if n_cat else rootw
         out = call(tipcons_j, nodecons_j, zrows_j, valid_j, tips, blockP,
-                   rw)
-        return out[:, 0] if n_cat else out[0]
+                   rootw)
+        return out[:, 0]
 
     return fn, sched
 
@@ -263,7 +311,7 @@ def build_fused_forward(topo: Topology, C: int, S: int, P: int, *,
 # --------------------------------------------------------------------------
 
 
-def _fused_bwd_kernel(C, S, B, maxc, n_steps, T, n_zero, tile, tpid,
+def _fused_bwd_kernel(C, S, B, maxc, n_steps, T, n_zero, tile,
                       tipcons_ref, nodecons_ref, zrows_ref,
                       valid_ref, tips_ref, blockP_ref, rootw_ref, g_ref,
                       dblockP_ref, drootw_ref,
@@ -274,7 +322,7 @@ def _fused_bwd_kernel(C, S, B, maxc, n_steps, T, n_zero, tile, tpid,
     CS = C * S
     Rb = B * CS
 
-    @pl.when(pl.program_id(tpid) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _init_out():
         dblockP_ref[...] = jnp.zeros_like(dblockP_ref[...])
         drootw_ref[...] = jnp.zeros_like(drootw_ref[...])
@@ -288,7 +336,8 @@ def _fused_bwd_kernel(C, S, B, maxc, n_steps, T, n_zero, tile, tpid,
     # ---- root cotangent (scaled coordinates) ----
     gbuf[...] = jnp.zeros_like(gbuf[...])
     rp = stage[n_steps, pl.ds(0, CS)]                  # [CS, tile]
-    site = jnp.dot(rootw_ref[:], rp, preferred_element_type=f32)[0]
+    site = jnp.dot(rootw_ref[:], rp, preferred_element_type=f32,
+                          precision=_MXU_PRECISION)[0]
     site = jnp.maximum(site, jnp.finfo(f32).tiny)
     inv = g_ref[0, :] / site                           # [tile]
     gbuf[n_steps, pl.ds(0, CS)] = rootw_ref[0][:, None] * inv[None, :]
@@ -311,7 +360,8 @@ def _fused_bwd_kernel(C, S, B, maxc, n_steps, T, n_zero, tile, tpid,
         contribs, stacks, vs = [], [], []
         for j in range(maxc):
             stacked = stage[s, pl.ds(j * Rb, Rb)]      # [Rb, tile]
-            contrib = jnp.dot(bp[j], stacked, preferred_element_type=f32)
+            contrib = jnp.dot(bp[j], stacked, preferred_element_type=f32,
+                          precision=_MXU_PRECISION)
             v = v_all[j * Rb:(j + 1) * Rb][:, None]
             contribs.append(contrib * v + (1.0 - v))
             stacks.append(stacked)
@@ -337,75 +387,38 @@ def _fused_bwd_kernel(C, S, B, maxc, n_steps, T, n_zero, tile, tpid,
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), bstep, jnp.int32(0))
 
 
-def build_fused_backward(topo: Topology, C: int, S: int, P: int, *,
-                         B: int = None, interpret: bool = False,
-                         dtype=jnp.float32, tile: int = TILE,
-                         n_cat: int = 0):
-    """Returns fn(tips, blockP, rootw, g) -> (dblockP, drootw). In
-    category-split mode (``n_cat > 0``) g is [n_cat, P] and the outputs
-    carry the leading [n_cat] axis."""
+def build_fused_backward(topo: Topology, C: int, S: int, P: int, L: int, *,
+                         B: int = 8, interpret: bool = False,
+                         dtype=jnp.float32, tile: int = TILE):
+    """Returns fn(tips, blockP [L,...], rootw [L,1,CS], g [L,P]) ->
+    (dblockP [L,...], drootw [L,1,CS])."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if B is None:
-        B = pick_B(topo)
     sched, pn = _plan(topo, C, S, B)
     maxc, n_steps, CS, Rb, R, T = (pn["maxc"], pn["n_steps"], pn["CS"],
                                    pn["Rb"], pn["R"], pn["T"])
     n_tiles = P // tile
 
-    if n_cat:
-        assert C == 1
-        kernel = partial(_fused_bwd_kernel, C, S, B, maxc, n_steps, T,
-                         pn["n_zero"], tile, 1)
-        grid = (n_cat, n_tiles)
-        # same squeezed-category-axis trick as the forward: (1, CS)/(1, tile)
-        # blocks over (n_cat, ...) arrays violate Mosaic's second-to-minor
-        # rule, so rootw/g/drootw carry an explicit singleton row axis
-        in_specs = [
-            pl.BlockSpec((n_steps, R), lambda c, t, *_: (0, 0)),
-            pl.BlockSpec((T, S, tile), lambda c, t, *_: (0, 0, t)),
-            pl.BlockSpec((None, n_steps, maxc, Rb, Rb),
-                         lambda c, t, *_: (c, 0, 0, 0, 0)),
-            pl.BlockSpec((None, 1, CS), lambda c, t, *_: (c, 0, 0)),
-            pl.BlockSpec((None, 1, tile), lambda c, t, *_: (c, 0, t)),
-        ]
-        out_specs = [
-            pl.BlockSpec((None, n_steps, maxc, Rb, Rb),
-                         lambda c, t, *_: (c, 0, 0, 0, 0)),
-            pl.BlockSpec((None, 1, CS), lambda c, t, *_: (c, 0, 0)),
-        ]
-        out_shape = [
-            jax.ShapeDtypeStruct((n_cat, n_steps, maxc, Rb, Rb), dtype),
-            jax.ShapeDtypeStruct((n_cat, 1, CS), dtype),
-        ]
-        semantics = ("parallel", "arbitrary")
-    else:
-        kernel = partial(_fused_bwd_kernel, C, S, B, maxc, n_steps, T,
-                         pn["n_zero"], tile, 0)
-        grid = (n_tiles,)
-        in_specs = [
-            pl.BlockSpec((n_steps, R), lambda t, *_: (0, 0)),
-            pl.BlockSpec((T, S, tile), lambda t, *_: (0, 0, t)),
-            pl.BlockSpec((n_steps, maxc, Rb, Rb), lambda t, *_: (0, 0, 0, 0)),
-            pl.BlockSpec((1, CS), lambda t, *_: (0, 0)),
-            pl.BlockSpec((1, tile), lambda t, *_: (0, t)),
-        ]
-        out_specs = [
-            pl.BlockSpec((n_steps, maxc, Rb, Rb), lambda t, *_: (0, 0, 0, 0)),
-            pl.BlockSpec((1, CS), lambda t, *_: (0, 0)),
-        ]
-        out_shape = [
-            jax.ShapeDtypeStruct((n_steps, maxc, Rb, Rb), dtype),
-            jax.ShapeDtypeStruct((1, CS), dtype),
-        ]
-        semantics = ("arbitrary",)
+    kernel = partial(_fused_bwd_kernel, C, S, B, maxc, n_steps, T,
+                     pn["n_zero"], tile)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
+        grid=(L, n_tiles),
+        in_specs=[
+            pl.BlockSpec((n_steps, R), lambda l, t, *_: (0, 0)),
+            pl.BlockSpec((T, S, tile), lambda l, t, *_: (0, 0, t)),
+            pl.BlockSpec((None, n_steps, maxc, Rb, Rb),
+                         lambda l, t, *_: (l, 0, 0, 0, 0)),
+            pl.BlockSpec((None, 1, CS), lambda l, t, *_: (l, 0, 0)),
+            pl.BlockSpec((None, 1, tile), lambda l, t, *_: (l, 0, t)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, n_steps, maxc, Rb, Rb),
+                         lambda l, t, *_: (l, 0, 0, 0, 0)),
+            pl.BlockSpec((None, 1, CS), lambda l, t, *_: (l, 0, 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((n_steps + 1, R, tile), dtype),
             pltpu.VMEM((n_steps + 1, R, tile), dtype),
@@ -417,10 +430,13 @@ def build_fused_backward(topo: Topology, C: int, S: int, P: int, *,
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=[
+            jax.ShapeDtypeStruct((L, n_steps, maxc, Rb, Rb), dtype),
+            jax.ShapeDtypeStruct((L, 1, CS), dtype),
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=semantics),
+            dimension_semantics=("parallel", "arbitrary")),
     )
 
     tipcons_j = jnp.asarray(pn["tipcons"])
@@ -429,83 +445,147 @@ def build_fused_backward(topo: Topology, C: int, S: int, P: int, *,
     valid_j = jnp.asarray(pn["validf"], dtype)
 
     def fn(tips, blockP, rootw, g):
-        if n_cat:
-            rw = rootw.reshape(n_cat, 1, CS)
-            g2 = g.reshape(n_cat, 1, P)
-        else:
-            rw = rootw
-            g2 = g.reshape(1, P)
+        L_ = blockP.shape[0]
         dblockP, drootw = call(tipcons_j, nodecons_j, zrows_j, valid_j,
-                               tips, blockP, rw, g2)
+                               tips, blockP, rootw,
+                               g.reshape(L_, 1, P))
         return dblockP, drootw
 
     return fn, sched
 
 
 # --------------------------------------------------------------------------
-# custom-VJP wrapper + public API
+# custom-vmap'd kernel entries + custom-VJP wrapper
 # --------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _batched_call(inner, tips, others, axis_size, in_batched):
+    """Shared custom_vmap rule body: flatten a new batch axis into the
+    kernel's leading L axis.
+
+    ``others`` are the [L, ...]-leading operands (blockP, rootw, [g]);
+    batched entries arrive with the batch axis at 0 ([G, L, ...]).
+    ``inner`` is the custom_vmap-wrapped callable itself, so nested vmaps
+    recurse through the rule rather than hitting the raw pallas_call.
+    """
+    G = axis_size
+    tb, rest_b = in_batched[0], in_batched[1:]
+    if tb:
+        # tips batched: no shared-tips kernel applies; run per batch
+        # element sequentially (correct; rare — tips are constants in
+        # every framework path)
+        ins = (tips,) + tuple(
+            o if b else jnp.broadcast_to(o[None], (G,) + o.shape)
+            for o, b in zip(others, rest_b))
+        out = jax.lax.map(lambda a: inner(a[0], *a[1:]), ins)
+        if isinstance(out, tuple):
+            return out, (True,) * len(out)
+        return out, True
+    flat = []
+    for o, b in zip(others, rest_b):
+        if not b:
+            o = jnp.broadcast_to(o[None], (G,) + o.shape)
+        L = o.shape[1]
+        flat.append(o.reshape((G * L,) + o.shape[2:]))
+    out = inner(tips, *flat)
+    if isinstance(out, tuple):
+        return (tuple(o.reshape((G, o.shape[0] // G) + o.shape[1:])
+                      for o in out), (True,) * len(out))
+    return out.reshape((G, out.shape[0] // G) + out.shape[1:]), True
+
+
+def _fwd_callable(topo, C, B, interpret, S, tile):
+    """custom_vmap-wrapped forward kernel entry: (tips, blockP, rootw) ->
+    site [L, P]. vmap flattens into the leading L grid axis."""
+
+    @jax.custom_batching.custom_vmap
+    def fwd(tips, blockP, rootw):
+        P = tips.shape[-1]
+        fn, _ = build_fused_forward(topo, C, S, P, blockP.shape[0], B=B,
+                                    interpret=interpret, dtype=tips.dtype,
+                                    tile=tile)
+        return fn(tips, blockP, rootw)
+
+    @fwd.def_vmap
+    def _rule(axis_size, in_batched, tips, blockP, rootw):
+        return _batched_call(fwd, tips, (blockP, rootw),
+                             axis_size, in_batched)
+
+    return fwd
+
+
+def _bwd_callable(topo, C, B, interpret, S, tile):
+    """custom_vmap-wrapped backward kernel entry:
+    (tips, blockP, rootw, g) -> (dblockP, drootw)."""
+
+    @jax.custom_batching.custom_vmap
+    def bwd(tips, blockP, rootw, g):
+        P = tips.shape[-1]
+        fn, _ = build_fused_backward(topo, C, S, P, blockP.shape[0], B=B,
+                                     interpret=interpret, dtype=tips.dtype,
+                                     tile=tile)
+        return fn(tips, blockP, rootw, g)
+
+    @bwd.def_vmap
+    def _rule(axis_size, in_batched, tips, blockP, rootw, g):
+        return _batched_call(bwd, tips, (blockP, rootw, g),
+                             axis_size, in_batched)
+
+    return bwd
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _fused_site_log(topo: Topology, C: int, B: int, interpret: bool,
-                    S: int, tile: int, n_cat: int, tips, blockP, rootw):
-    P = tips.shape[-1]
-    fn, _ = build_fused_forward(topo, C, S, P, B=B, interpret=interpret,
-                                dtype=tips.dtype, tile=tile, n_cat=n_cat)
-    return fn(tips, blockP, rootw)
+                    S: int, tile: int, tips, blockP, rootw):
+    return _fwd_callable(topo, C, B, interpret, S, tile)(
+        tips, blockP, rootw)
 
 
-def _fused_fwd(topo, C, B, interpret, S, tile, n_cat, tips, blockP, rootw):
-    P = tips.shape[-1]
-    fn, _ = build_fused_forward(topo, C, S, P, B=B, interpret=interpret,
-                                dtype=tips.dtype, tile=tile, n_cat=n_cat)
-    site = fn(tips, blockP, rootw)
+def _fused_fwd(topo, C, B, interpret, S, tile, tips, blockP, rootw):
+    site = _fwd_callable(topo, C, B, interpret, S, tile)(
+        tips, blockP, rootw)
     return site, (tips, blockP, rootw)
 
 
-def _fused_bwd(topo, C, B, interpret, S, tile, n_cat, residuals, g):
+def _fused_bwd(topo, C, B, interpret, S, tile, residuals, g):
     tips, blockP, rootw = residuals
-    P = tips.shape[-1]
-    fn, _ = build_fused_backward(topo, C, S, P, B=B, interpret=interpret,
-                                 dtype=tips.dtype, tile=tile, n_cat=n_cat)
-    dblockP, drootw = fn(tips, blockP, rootw, g)
+    dblockP, drootw = _bwd_callable(topo, C, B, interpret, S, tile)(
+        tips, blockP, rootw, g)
     return (jnp.zeros_like(tips), dblockP, drootw.reshape(rootw.shape))
 
 
 _fused_site_log.defvjp(_fused_fwd, _fused_bwd)
 
 
-def _needs_csplit(C: int, S: int) -> bool:
-    """Packed rows need C*S % 8 == 0 with tolerable padding; odd S (61)
-    can never satisfy it by padding categories, and big C*S blows VMEM."""
-    if S <= 8:
-        return False
-    CS = C * S
-    while CS % 8:
-        CS += S
-    return CS > 64 or S % 2
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
 
 
 def fused_site_log(tip_partials, pmats, topo: Topology, freqs, props, *,
-                   B: int = None, interpret: bool = False,
+                   B: int = None, tile: int = None, interpret: bool = False,
                    split_categories: bool = None):
     """Per-pattern site log-likelihoods [P] via the fused kernel.
 
-    Differentiable w.r.t. pmats/freqs/props (same contract as
-    staged_site_log: tips are constants). ``split_categories`` (default:
+    Differentiable w.r.t. pmats/freqs/props (tips are constants) and
+    batchable with vmap (chains/ladders lower onto the kernel's leading
+    grid axis via the custom_vmap rules). ``split_categories`` (default:
     auto by state count) selects the category-grid variant used for
     protein/codon state spaces."""
     T, S, P = tip_partials.shape
     C = pmats.shape[1]
     if split_categories is None:
         split_categories = _needs_csplit(C, S)
-    if B is None:
-        B = pick_B(topo)
+    if B is None or tile is None:
+        plan = fused_plan(topo, C, S, P)
+        if plan is None:  # explicit engine choice on an over-budget shape:
+            plan = dict(B=pick_B(topo),  # run anyway, largest efficient B
+                        tile=TILE_CSPLIT if split_categories else TILE)
+        B = B if B is not None else plan["B"]
+        tile = tile if tile is not None else plan["tile"]
 
     if split_categories:
         Sp = pad_states(S)
-        tile = TILE_CSPLIT if P % TILE_CSPLIT == 0 else TILE
         tips = jax.lax.stop_gradient(tip_partials)
         if Sp != S:
             pmats = jnp.pad(pmats, ((0, 0), (0, 0), (0, Sp - S),
@@ -517,18 +597,16 @@ def fused_site_log(tip_partials, pmats, topo: Topology, freqs, props, *,
             lambda pc: build_block_pmats(pc[:, None], sched, 1, Sp, B)
         )(jnp.moveaxis(pmats, 1, 0))
         rootw = props[:, None] * freqs[None, :]        # [C, S]
-        rootw = jnp.pad(rootw, ((0, 0), (0, Sp - S)))
-        percat = _fused_site_log(topo, 1, B, interpret, Sp, tile, C,
+        rootw = jnp.pad(rootw, ((0, 0), (0, Sp - S))).reshape(C, 1, Sp)
+        percat = _fused_site_log(topo, 1, B, interpret, Sp, tile,
                                  tips, blockP.astype(tips.dtype),
                                  rootw.astype(tips.dtype))
         # percat[c] = log(prop_c * freqs . root_partial_c) + scale_log_c;
         # the site likelihood is the category sum in linear space
         return jax.scipy.special.logsumexp(percat, axis=0)
 
-    if (C * S) % 8:  # 8-sublane alignment of stage row blocks
-        C2 = C
-        while (C2 * S) % 8:
-            C2 += 1
+    C2 = pad_categories(C, S)   # 8-sublane alignment of stage row blocks
+    if C2 != C:
         reps = C2 - C
         pmats = jnp.concatenate(
             [pmats, jnp.repeat(pmats[:, -1:], reps, axis=1)], axis=1)
@@ -536,11 +614,11 @@ def fused_site_log(tip_partials, pmats, topo: Topology, freqs, props, *,
         C = C2
     sched = staged_schedule(topo, B)
     blockP = build_block_pmats(pmats, sched, C, S, B)
-    rootw = (props[:, None] * freqs[None, :]).reshape(1, C * S)
+    rootw = (props[:, None] * freqs[None, :]).reshape(1, 1, C * S)
     tips = jax.lax.stop_gradient(tip_partials)
-    return _fused_site_log(topo, C, B, interpret, S, TILE, 0, tips,
-                           blockP.astype(tips.dtype),
-                           rootw.astype(tips.dtype))
+    return _fused_site_log(topo, C, B, interpret, S, tile, tips,
+                           blockP.astype(tips.dtype)[None],
+                           rootw.astype(tips.dtype))[0]
 
 
 def fused_tree_log_likelihood(tip_partials, pmats, topo: Topology, freqs,

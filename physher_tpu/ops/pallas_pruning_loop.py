@@ -31,6 +31,13 @@ from ..trees.topology import Topology
 
 TILE = 128
 
+# Mosaic lowers f32 jnp.dot at DEFAULT precision to a single bf16 MXU pass
+# (measured 1.5e-3 relative error; ~54 logP units on the fluA time tree —
+# the true source of the round-3 "vmap miscompute"). HIGHEST = 6-pass
+# bf16 expansion, true-f32 accurate (2.4e-7), near-identical latency on
+# the bandwidth-bound pruning shapes.
+_MXU_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _schedule(topo: Topology, block: int):
     """Flat postorder schedule padded to blocks.
@@ -78,7 +85,8 @@ def _kernel(C, S, block, maxc, rescale, n_steps,
                 pm = pmats_ref[pl.ds(csafe, 1)][0]     # [C, S, S]
                 cp = buf[pl.ds(csafe, 1)][0]           # [C, S, TILE]
                 contrib = jnp.stack([
-                    jnp.dot(pm[c], cp[c], preferred_element_type=f32)
+                    jnp.dot(pm[c], cp[c], preferred_element_type=f32,
+                          precision=_MXU_PRECISION)
                     for c in range(C)
                 ])
                 valid = (child >= 0).astype(f32)
@@ -100,7 +108,8 @@ def _kernel(C, S, block, maxc, rescale, n_steps,
     site = None
     for c in range(C):
         per_cat = jnp.dot(freqs_ref[:], rp[c],
-                          preferred_element_type=f32)[0]
+                          preferred_element_type=f32,
+                          precision=_MXU_PRECISION)[0]
         term = props_ref[0, c] * per_cat
         site = term if site is None else site + term
     site = jnp.maximum(site, jnp.finfo(f32).tiny)
@@ -147,15 +156,15 @@ def build_loop_forward(topo: Topology, C: int, S: int, P: int, *,
         interpret=interpret,
     )
 
-    nodes_j = jnp.asarray(nodes)
-    childs_j = jnp.asarray(childs)
-    root_j = jnp.asarray(root)
-
     def fn(tip_partials, pmats, freqs, props):
+        # scalar-prefetch constants materialized INSIDE fn: fn is re-traced
+        # by the sequential_vmap batching rule, and closure jnp constants
+        # created in an enclosing jit trace leak as foreign tracers there
         # one extra pmats row for the dummy slot
         pmats_pad = jnp.concatenate(
             [pmats, jnp.zeros((1,) + pmats.shape[1:], pmats.dtype)], axis=0)
-        out = call(nodes_j, childs_j, root_j, tip_partials, pmats_pad,
+        out = call(jnp.asarray(nodes), jnp.asarray(childs),
+                   jnp.asarray(root), tip_partials, pmats_pad,
                    freqs.reshape(1, S), props.reshape(1, C))
         return out[0]
 
@@ -205,7 +214,8 @@ def _backward_kernel(C, S, block, maxc, rescale, n_steps, T,
                 pm = pmats_ref[pl.ds(csafe, 1)][0]
                 cp = buf[pl.ds(csafe, 1)][0]
                 contrib = jnp.stack([
-                    jnp.dot(pm[c], cp[c], preferred_element_type=f32)
+                    jnp.dot(pm[c], cp[c], preferred_element_type=f32,
+                          precision=_MXU_PRECISION)
                     for c in range(C)
                 ])
                 valid = (child >= 0).astype(f32)
@@ -229,7 +239,8 @@ def _backward_kernel(C, S, block, maxc, rescale, n_steps, T,
     site = None
     per_cat = []
     for c in range(C):
-        pc = jnp.dot(freqs_ref[:], rp[c], preferred_element_type=f32)[0]
+        pc = jnp.dot(freqs_ref[:], rp[c], preferred_element_type=f32,
+                          precision=_MXU_PRECISION)[0]
         per_cat.append(pc)                             # [TILE]
         term = props_ref[0, c] * pc
         site = term if site is None else site + term
@@ -266,7 +277,8 @@ def _backward_kernel(C, S, block, maxc, rescale, n_steps, T,
                 pm = pmats_ref[pl.ds(csafe, 1)][0]
                 cp = buf[pl.ds(csafe, 1)][0]
                 contrib = jnp.stack([
-                    jnp.dot(pm[c], cp[c], preferred_element_type=f32)
+                    jnp.dot(pm[c], cp[c], preferred_element_type=f32,
+                          precision=_MXU_PRECISION)
                     for c in range(C)
                 ])
                 valid = (child >= 0).astype(f32)
@@ -282,13 +294,15 @@ def _backward_kernel(C, S, block, maxc, rescale, n_steps, T,
                     if j != i:
                         other = other * contribs[j]
                 dpm = jnp.stack([
-                    jnp.dot(other[c], cps[i][c].T, preferred_element_type=f32)
+                    jnp.dot(other[c], cps[i][c].T, preferred_element_type=f32,
+                          precision=_MXU_PRECISION)
                     for c in range(C)
                 ])                                     # [C, S, S]
                 cur = dpmats_ref[pl.ds(csafe, 1)]
                 dpmats_ref[pl.ds(csafe, 1)] = cur + dpm[None]
                 gch = jnp.stack([
-                    jnp.dot(pms[i][c].T, other[c], preferred_element_type=f32)
+                    jnp.dot(pms[i][c].T, other[c], preferred_element_type=f32,
+                          precision=_MXU_PRECISION)
                     for c in range(C)
                 ])
                 gbuf[pl.ds(csafe, 1)] = gch[None]
@@ -348,12 +362,10 @@ def build_loop_backward(topo: Topology, C: int, S: int, P: int, *,
         interpret=interpret,
     )
 
-    nodes_j = jnp.asarray(nodes)
-    childs_j = jnp.asarray(childs)
-    root_j = jnp.asarray(root)
-
     def fn(tip_partials, pmats_pad, g, freqs, props):
-        dpm, dfr, dpr = call(nodes_j, childs_j, root_j, tip_partials,
+        # constants inside fn: see build_loop_forward
+        dpm, dfr, dpr = call(jnp.asarray(nodes), jnp.asarray(childs),
+                             jnp.asarray(root), tip_partials,
                              pmats_pad, g.reshape(1, P),
                              freqs.reshape(1, S), props.reshape(1, C))
         return dpm, dfr[0], dpr[0]
@@ -383,13 +395,18 @@ def loop_site_log(topo: Topology, rescale: bool, block: int, interpret: bool,
     return out
 
 
+# sequential_vmap on the raw pallas calls: vmap of a scalar-prefetch
+# pallas_call silently miscomputes on TPU; batching that reaches this
+# kernel lowers to a correct per-element loop (the fused engine batches
+# natively and covers the hot batched shapes)
 def _loop_fwd(topo, rescale, block, interpret, tip_partials, pmats, freqs,
               props):
     T, S, P = tip_partials.shape
     C = pmats.shape[1]
     fn = build_loop_forward(topo, C, S, P, rescale=rescale, block=block,
                             interpret=interpret, dtype=tip_partials.dtype)
-    site_log = fn(tip_partials, pmats, freqs, props)
+    site_log = jax.custom_batching.sequential_vmap(fn)(
+        tip_partials, pmats, freqs, props)
     return site_log, (tip_partials, pmats, freqs, props)
 
 
@@ -401,7 +418,8 @@ def _loop_bwd(topo, rescale, block, interpret, residuals, g):
                               interpret=interpret, dtype=tip_partials.dtype)
     pmats_pad = jnp.concatenate(
         [pmats, jnp.zeros((1,) + pmats.shape[1:], pmats.dtype)], axis=0)
-    dpm_pad, dfreqs, dprops = bwd(tip_partials, pmats_pad, g, freqs, props)
+    dpm_pad, dfreqs, dprops = jax.custom_batching.sequential_vmap(bwd)(
+        tip_partials, pmats_pad, g, freqs, props)
     dtips = jnp.zeros_like(tip_partials)
     return dtips, dpm_pad[: topo.N], dfreqs, dprops
 

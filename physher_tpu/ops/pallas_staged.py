@@ -45,6 +45,13 @@ from ..trees.topology import Topology
 
 TILE = 256
 
+# Mosaic lowers f32 jnp.dot at DEFAULT precision to a single bf16 MXU pass
+# (measured 1.5e-3 relative error; ~54 logP units on the fluA time tree —
+# the true source of the round-3 "vmap miscompute"). HIGHEST = 6-pass
+# bf16 expansion, true-f32 accurate (2.4e-7), near-identical latency on
+# the bandwidth-bound pruning shapes.
+_MXU_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def staged_schedule(topo: Topology, B: int):
     """Pack internal nodes into steps of B (level-scheduled: nodes of one
@@ -195,7 +202,8 @@ def _fwd_kernel(C, S, B, maxc, n_steps, T, n_zero, spill,
     for j in range(maxc):
         stacked = stage[s, pl.ds(j * Rb, Rb)]              # [Rb, TILE]
         contrib = jnp.dot(blockP_ref[0, j], stacked,
-                          preferred_element_type=f32)
+                          preferred_element_type=f32,
+                          precision=_MXU_PRECISION)
         v = valid_ref[0, 0][:, None][j * Rb:(j + 1) * Rb]  # [Rb, 1]
         contrib = contrib * v + (1.0 - v)
         res = contrib if res is None else res * contrib    # [Rb, TILE]
@@ -217,7 +225,8 @@ def _fwd_kernel(C, S, B, maxc, n_steps, T, n_zero, spill,
     @pl.when(s == n_steps - 1)
     def _root():
         rp = stage[n_steps, pl.ds(0, CS)]                  # [CS, TILE]
-        site = jnp.dot(rootw_ref[:], rp, preferred_element_type=f32)[0]
+        site = jnp.dot(rootw_ref[:], rp, preferred_element_type=f32,
+                          precision=_MXU_PRECISION)[0]
         site = jnp.maximum(site, jnp.finfo(f32).tiny)
         site_log_ref[0, :] = jnp.log(site) + scal_acc[0, :]
 
@@ -277,14 +286,14 @@ def build_staged_forward(topo: Topology, C: int, S: int, P: int, *,
             dimension_semantics=("parallel", "arbitrary")),
     )
 
-    tipcons_j = jnp.asarray(pn["tipcons"])
-    nodecons_j = jnp.asarray(pn["nodecons"])
-    zrows_j = jnp.asarray(pn["zrows"])
-    valid_j = jnp.asarray(pn["validf"][:, None, :], dtype)
-
     def fn(tips, blockP, rootw):
-        out = call(tipcons_j, nodecons_j, zrows_j, valid_j, tips, blockP,
-                   rootw)
+        # constants are materialized INSIDE fn: fn is re-traced by the
+        # sequential_vmap batching rule, and closure jnp constants created
+        # in an enclosing jit trace leak as foreign tracers there
+        out = call(jnp.asarray(pn["tipcons"]), jnp.asarray(pn["nodecons"]),
+                   jnp.asarray(pn["zrows"]),
+                   jnp.asarray(pn["validf"][:, None, :], dtype),
+                   tips, blockP, rootw)
         if spill:
             site, stage, minv = out
             return site[0], stage, minv
@@ -319,7 +328,8 @@ def _bwd_kernel(C, S, B, maxc, n_steps, rescale_unused,
     def _root():
         gbuf[...] = jnp.zeros_like(gbuf[...])
         rp = root_stage_ref[0, pl.ds(0, CS)]               # [CS, TILE]
-        site = jnp.dot(rootw_ref[:], rp, preferred_element_type=f32)[0]
+        site = jnp.dot(rootw_ref[:], rp, preferred_element_type=f32,
+                          precision=_MXU_PRECISION)[0]
         site = jnp.maximum(site, jnp.finfo(f32).tiny)
         inv = g_ref[0, :] / site                           # [TILE]
         inv_row[0, :] = inv
@@ -340,7 +350,8 @@ def _bwd_kernel(C, S, B, maxc, n_steps, rescale_unused,
     for j in range(maxc):
         stacked = stage_ref[0, pl.ds(j * Rb, Rb)]          # [Rb, TILE]
         contrib = jnp.dot(blockP_ref[0, j], stacked,
-                          preferred_element_type=f32)
+                          preferred_element_type=f32,
+                          precision=_MXU_PRECISION)
         v = valid_ref[0, 0][:, None][j * Rb:(j + 1) * Rb]
         contribs.append(contrib * v + (1.0 - v))
         stacks.append(stacked)
@@ -414,11 +425,11 @@ def build_staged_backward(topo: Topology, C: int, S: int, P: int, *,
             dimension_semantics=("arbitrary", "arbitrary")),
     )
 
-    nodecons_j = jnp.asarray(pn["nodecons"])
-    valid_j = jnp.asarray(pn["validf"][:, None, :], dtype)
-
     def fn(stage, minv, blockP, rootw, g):
-        dblockP, drootw = call(nodecons_j, valid_j, stage, stage, blockP,
+        # constants inside fn: see build_staged_forward
+        dblockP, drootw = call(jnp.asarray(pn["nodecons"]),
+                               jnp.asarray(pn["validf"][:, None, :], dtype),
+                               stage, stage, blockP,
                                minv, rootw, g.reshape(1, P))
         return dblockP, drootw[0]
 
@@ -430,20 +441,25 @@ def build_staged_backward(topo: Topology, C: int, S: int, P: int, *,
 # --------------------------------------------------------------------------
 
 
+# the raw pallas calls are wrapped in sequential_vmap: vmap of a
+# scalar-prefetch pallas_call silently miscomputes on TPU, so any batching
+# that reaches this kernel (the fused engine handles the common batched
+# shapes natively) lowers to a correct per-element loop instead
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def _staged_site_log(topo: Topology, C: int, B: int, interpret: bool,
                      S: int, tips, blockP, rootw):
     P = tips.shape[-1]
     fn, _ = build_staged_forward(topo, C, S, P, B=B, interpret=interpret,
                                  dtype=tips.dtype)
-    return fn(tips, blockP, rootw)
+    return jax.custom_batching.sequential_vmap(fn)(tips, blockP, rootw)
 
 
 def _staged_fwd(topo, C, B, interpret, S, tips, blockP, rootw):
     P = tips.shape[-1]
     fn, _ = build_staged_forward(topo, C, S, P, B=B, spill=True,
                                  interpret=interpret, dtype=tips.dtype)
-    site, stage, minv = fn(tips, blockP, rootw)
+    site, stage, minv = jax.custom_batching.sequential_vmap(fn)(
+        tips, blockP, rootw)
     return site, (stage, minv, blockP, rootw)
 
 
@@ -452,7 +468,8 @@ def _staged_bwd(topo, C, B, interpret, S, residuals, g):
     P = stage.shape[-1]
     fn, _ = build_staged_backward(topo, C, S, P, B=B, interpret=interpret,
                                   dtype=stage.dtype)
-    dblockP, drootw = fn(stage, minv, blockP, rootw, g)
+    dblockP, drootw = jax.custom_batching.sequential_vmap(fn)(
+        stage, minv, blockP, rootw, g)
     dtips = None  # tips are stop_gradient'ed by the caller
     return (jnp.zeros((topo.T, S, P), stage.dtype), dblockP,
             drootw.reshape(1, -1))

@@ -83,10 +83,9 @@ def shard_tree_likelihood(tlk, mesh: Mesh, axis_name: str = "patterns"):
     # inside shard_map; n_tiles = P_shard // TILE would silently truncate the
     # trailing patterns of every shard if it doesn't divide (engine="auto"
     # handles this by falling back to the XLA engine via _shard_P())
-    if tlk.engine in ("pallas-fused", "pallas-staged", "pallas-loop",
-                      "pallas"):
+    if tlk.engine in ("pallas-fused", "pallas-staged", "pallas-loop"):
         if tlk.engine == "pallas-fused":
-            from ..ops.pallas_fused import TILE as tile
+            from ..ops.pallas_fused import TILE_CSPLIT as tile
         elif tlk.engine == "pallas-staged":
             from ..ops.pallas_staged import TILE as tile
         else:

@@ -1,9 +1,11 @@
-"""Fused Pallas pruning kernel: parity with the XLA path (interpret mode).
+"""Loop-based Pallas pruning kernel tests (interpret mode).
 
-The kernel (physher_tpu/ops/pallas_pruning.py) replaces the reference's SIMD
-pruning + analytic-gradient machinery (reference: treelikelihood4/20/X/Codon,
-treelikelihood.c:2129-3100); these tests pin value and gradient parity
-against the level-batched XLA engine on CPU via pallas interpret mode.
+The loop kernel (physher_tpu/ops/pallas_pruning_loop.py) is the constant-
+program-size fallback engine (reference SIMD pruning + analytic gradients:
+treelikelihood4/20/X/Codon, treelikelihood.c:2129-3100); these tests pin
+value and gradient parity against the level-batched XLA engine on CPU via
+pallas interpret mode. The fused/staged engines have their own suites
+(test_fused_engine.py, test_staged_engine.py).
 """
 
 import jax
@@ -13,8 +15,7 @@ import pytest
 
 from physher_tpu.utils.synthetic import balanced_topology, random_sitepattern
 from physher_tpu.ops.pruning import tree_log_likelihood, pad_patterns
-from physher_tpu.ops.pallas_pruning import (
-    pallas_tree_log_likelihood, vmem_estimate, TILE)
+from physher_tpu.ops.pallas_pruning_loop import TILE
 
 
 def _setup(n_tips=8, n_sites=100, C=4, seed=0, dtype=np.float32):
@@ -32,108 +33,6 @@ def _setup(n_tips=8, n_sites=100, C=4, seed=0, dtype=np.float32):
     props = jnp.asarray(np.full(C, 1.0 / C, dtype))
     w = jnp.asarray(np.asarray(sp.padded_weights(P), dtype))
     return topo, tips, pm, freqs, props, w
-
-
-class TestPallasParity:
-    @pytest.mark.parametrize("rescale", [False, True])
-    def test_forward(self, rescale):
-        topo, tips, pm, freqs, props, w = _setup()
-        ll_x, sl_x = tree_log_likelihood(
-            tips.astype(jnp.float64), pm.astype(jnp.float64), topo,
-            freqs.astype(jnp.float64), props.astype(jnp.float64),
-            w.astype(jnp.float64), rescale=rescale)
-        ll_p, sl_p = pallas_tree_log_likelihood(
-            tips, pm, topo, freqs, props, w, rescale=rescale,
-            interpret=True)
-        np.testing.assert_allclose(float(ll_p), float(ll_x), rtol=2e-5)
-        np.testing.assert_allclose(
-            np.asarray(sl_p)[np.asarray(w) > 0],
-            np.asarray(sl_x)[np.asarray(w) > 0], rtol=2e-4)
-
-    def test_gradient_pmats_freqs_props(self):
-        topo, tips, pm, freqs, props, w = _setup()
-
-        def f_x(pm_, fr, pr):
-            return tree_log_likelihood(
-                tips.astype(jnp.float64), pm_.astype(jnp.float64), topo,
-                fr.astype(jnp.float64), pr.astype(jnp.float64),
-                w.astype(jnp.float64), rescale=True)[0]
-
-        def f_p(pm_, fr, pr):
-            return pallas_tree_log_likelihood(
-                tips, pm_, topo, fr, pr, w, rescale=True, interpret=True)[0]
-
-        gx = jax.grad(f_x, argnums=(0, 1, 2))(pm, freqs, props)
-        gp = jax.grad(f_p, argnums=(0, 1, 2))(pm, freqs, props)
-        for a, b, name in zip(gp, gx, ["pmats", "freqs", "props"]):
-            scale = float(jnp.max(jnp.abs(b))) + 1e-9
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=2e-3,
-                atol=2e-4 * scale, err_msg=name)
-
-    def test_multifurcating_root(self):
-        # unrooted-style trifurcation at the root
-        from physher_tpu.io.treeio import read_newick
-        from physher_tpu.data.sitepattern import SitePattern
-        from collections import OrderedDict
-        seqs = OrderedDict([("a", "ACGTACGTAC"), ("b", "ACGTACCTAA"),
-                            ("c", "AGGTACGTAT"), ("d", "ACGAACGTAA"),
-                            ("e", "CCGTACGTAA")])
-        topo, dist = read_newick(
-            "((a:0.1,b:0.2):0.05,(c:0.3,d:0.1):0.02,e:0.15);")
-        sp = SitePattern.from_alignment(seqs)
-        P = pad_patterns(sp.pattern_count, TILE)
-        tips = sp.tip_partials(pad_to=P, dtype=np.float32)
-        order = [sp.taxa.index(t) for t in topo.taxa]
-        tips = jnp.asarray(tips[order])
-        rng = np.random.default_rng(1)
-        C, S = 2, 4
-        Q = rng.random((topo.N, C, S, S)).astype(np.float32) + 0.1
-        pm = jnp.asarray(Q / Q.sum(-1, keepdims=True))
-        freqs = jnp.asarray(np.full(S, 0.25, np.float32))
-        props = jnp.asarray(np.full(C, 0.5, np.float32))
-        w = jnp.asarray(np.asarray(sp.padded_weights(P), np.float32))
-        ll_x, _ = tree_log_likelihood(tips, pm, topo, freqs, props, w,
-                                      rescale=True)
-        ll_p, _ = pallas_tree_log_likelihood(tips, pm, topo, freqs, props,
-                                             w, rescale=True, interpret=True)
-        np.testing.assert_allclose(float(ll_p), float(ll_x), rtol=2e-5)
-        g_x = jax.grad(lambda q: tree_log_likelihood(
-            tips, q, topo, freqs, props, w, rescale=True)[0])(pm)
-        g_p = jax.grad(lambda q: pallas_tree_log_likelihood(
-            tips, q, topo, freqs, props, w, rescale=True,
-            interpret=True)[0])(pm)
-        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
-                                   rtol=2e-3, atol=1e-4)
-
-    def test_vmem_estimate(self):
-        assert vmem_estimate(137, 4, 4) == 137 * 4 * 4 * TILE * 4
-        assert vmem_estimate(137, 4, 4, backward=True) == 3 * vmem_estimate(
-            137, 4, 4)
-
-    def test_treelikelihood_engine_option(self):
-        """engine='pallas' through the TreeLikelihood orchestrator."""
-        from physher_tpu.models.substitution import HKY
-        from physher_tpu.models.sitemodel import GammaSiteModel
-        from physher_tpu.models.treelikelihood import TreeLikelihood
-        from physher_tpu.utils.synthetic import balanced_topology
-        topo = balanced_topology(8)
-        sp = random_sitepattern(8, 60, seed=3)
-        kw = dict(site_model=GammaSiteModel(4), pattern_pad_multiple=TILE,
-                  dtype=jnp.float32)
-        t_x = TreeLikelihood(sp, topo, HKY(), engine="xla", **kw)
-        t_p = TreeLikelihood(sp, topo, HKY(), engine="pallas", **kw)
-        params = t_x.param_space().init_params()
-        lx = float(t_x.log_likelihood_only(params))
-        lp = float(t_p.log_likelihood_only(params))
-        np.testing.assert_allclose(lp, lx, rtol=2e-5)
-        gx = jax.grad(t_x.log_likelihood_only)(params)
-        gp = jax.grad(t_p.log_likelihood_only)(params)
-        for k in gx:
-            np.testing.assert_allclose(
-                np.asarray(gp[k]), np.asarray(gx[k]), rtol=5e-3,
-                atol=1e-3 * (float(jnp.max(jnp.abs(gx[k]))) + 1e-9),
-                err_msg=k)
 
 
 class TestLoopKernel:

@@ -28,10 +28,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     reason="set PHYSHER_TPU_DEVICE_TESTS=1 with an attached TPU")
 def test_fused_kernel_compiled_mosaic_parity():
     env = dict(os.environ)
-    # undo the conftest CPU pin for the child; keep the accelerator plugin
-    # path (e.g. axon site dir) that the parent shell carries
+    # undo the conftest CPU pin for the child; the smoke script bootstraps
+    # sys.path itself (PYTHONPATH=REPO shadows an axon plugin module and
+    # breaks accelerator discovery)
     env.pop("JAX_PLATFORMS", None)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("PYTHONPATH", None)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "smoke_fused_tpu.py")],
         env=env, capture_output=True, text=True, timeout=900)

@@ -1,6 +1,12 @@
-"""Which engine is wrong under vmap? Compare per-chain logP:
-unbatched (trusted, parity-tested) vs vmapped, per engine."""
-import contextlib
+"""Per-engine vmap parity probe on the fluA time-tree model: compares
+per-chain logP unbatched (trusted, parity-tested) vs vmapped, per engine.
+
+Round 3 used this to diagnose the ~54-logP-unit vmap-of-pallas_call
+miscompute; since round 4 the engines batch structurally (fused: leading
+grid axis; staged/loop: sequential_vmap), so every row should agree.
+``engine_override`` honors every engine name, so each row probes the
+engine it claims.
+"""
 import os
 import sys
 
@@ -29,10 +35,11 @@ def target(z):
     return tlk.log_likelihood(space.constrain(up))
 
 
-for eng in ["xla", "pallas-fused"]:
-    with (contextlib.nullcontext() if eng == "auto"
-          else engine_override(eng)):
+for eng in ["auto", "xla", "pallas-fused", "pallas-staged", "pallas-loop"]:
+    with engine_override(eng):
         unb = [float(jax.jit(target)(us[i])) for i in range(4)]
         vm = [float(v) for v in jax.jit(jax.vmap(target))(us)]
+    worst = max(abs(a - b) for a, b in zip(unb, vm))
     print(f"{eng:14s} unbatched {['%.2f' % v for v in unb]}", flush=True)
-    print(f"{eng:14s} vmapped   {['%.2f' % v for v in vm]}", flush=True)
+    print(f"{eng:14s} vmapped   {['%.2f' % v for v in vm]}"
+          f"  max|diff|={worst:.4g}", flush=True)
