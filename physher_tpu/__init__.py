@@ -22,6 +22,18 @@ import os
 
 __version__ = "0.1.0"
 
+# Default matmul precision "high" (f32-accurate bf16x3 on TPU; exact f32 on
+# CPU). XLA's DEFAULT lowers f32 matmuls to single-pass bf16 on TPU AND on
+# recent CPU backends (measured 1.5e-3 relative error — ~50 logP units on a
+# 69-taxon likelihood). A likelihood framework cannot silently lose three
+# digits: sums of thousands of log terms, MCMC acceptance ratios, and
+# quasi-Newton curvature all amplify it. Opt back into bf16 speed per-op
+# (precision=jax.lax.Precision.DEFAULT) where it is safe.
+import jax as _jax
+
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "high")
+
 
 def enable_x64(enable: bool = True) -> None:
     """Enable float64 computation globally (required for golden-value parity)."""

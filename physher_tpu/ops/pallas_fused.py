@@ -375,10 +375,10 @@ def _fused_bwd_kernel(C, S, B, maxc, n_steps, T, n_zero, tile,
                     other = other * contribs[j]        # [Rb, tile]
             dbps.append(jax.lax.dot_general(
                 other, stacks[i], (((1,), (1,)), ((), ())),
-                preferred_element_type=f32))           # [Rb, Rb]
+                preferred_element_type=f32, precision=_MXU_PRECISION))           # [Rb, Rb]
             gch = jax.lax.dot_general(
                 bp[i], other, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32)            # [Rb, tile]
+                preferred_element_type=f32, precision=_MXU_PRECISION)            # [Rb, tile]
             gbuf[s, pl.ds(i * Rb, Rb)] = gch
         cur = dblockP_ref[pl.ds(s, 1)]
         dblockP_ref[pl.ds(s, 1)] = cur + jnp.stack(dbps)[None]

@@ -364,11 +364,11 @@ def _bwd_kernel(C, S, B, maxc, n_steps, rescale_unused,
                 other = other * contribs[j]                # [Rb, TILE]
         dbp = jax.lax.dot_general(
             other, stacks[i], (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)                    # [Rb, Rb]
+            preferred_element_type=f32, precision=_MXU_PRECISION)                    # [Rb, Rb]
         dblockP_ref[s, i] = dblockP_ref[s, i] + dbp
         gch = jax.lax.dot_general(
             blockP_ref[0, i], other, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32)                    # [Rb, TILE]
+            preferred_element_type=f32, precision=_MXU_PRECISION)                    # [Rb, TILE]
         gbuf[s, pl.ds(i * Rb, Rb)] = gch
 
 

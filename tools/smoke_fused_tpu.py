@@ -103,13 +103,11 @@ def check(name, S, C, engine="fused", n_tips=16, n_sites=500):
         for a, b in zip(g64, gp))
     print(f"{engine}/{name}: f64={l64:.4f} pallas={lp:.4f} "
           f"absdiff={abs(l64 - lp):.2e} rel-gdiff={gdiff:.2e}", flush=True)
-    # HIGHEST-precision kernels sit within f32 noise of f64 truth; the
-    # round-3 bf16 regression was ~1e-2 relative logP, 40x this gate.
-    # Gradient gate: fused/staged dblockP currently carries a ~4e-3
-    # worst-entry deviation (present in interpret mode too, under
-    # investigation); loop/XLA sit at ~1e-6.
+    # HIGHEST-precision kernels sit within f32 noise of f64 truth (~1e-7
+    # in interpret mode); the round-3 bf16 regression was ~1e-2 relative
+    # logP / ~4e-3 gradients, orders above these gates
     assert abs(l64 - lp) < 3e-5 * abs(l64) + 0.05, (l64, lp)
-    assert gdiff < 5e-3, gdiff
+    assert gdiff < 2e-4, gdiff
 
 
 def check_vmap(S=4, C=4):
@@ -126,10 +124,14 @@ def check_vmap(S=4, C=4):
     fdiff = float(jnp.max(jnp.abs(single - batched)))
     g_single = jnp.stack([jax.jit(jax.grad(f))(p) for p in pms])
     g_batched = jax.jit(jax.vmap(jax.grad(f)))(pms)
-    gdiff = float(jnp.max(jnp.abs(g_single - g_batched)))
+    gdiff = float(jnp.max(jnp.abs(g_single - g_batched))
+                  / (1e-9 + float(jnp.max(jnp.abs(g_single)))))
     print(f"fused/vmap4: max|logP diff|={fdiff:.2e} "
-          f"max|grad diff|={gdiff:.2e}", flush=True)
-    assert fdiff == 0.0 and gdiff == 0.0, (fdiff, gdiff)
+          f"rel grad diff={gdiff:.2e}", flush=True)
+    # L=4 vs L=1 grids may schedule the multi-pass f32 dots differently;
+    # tiny f32-level drift is expected, the round-3 failure was ~54 units
+    assert fdiff < 1e-6 * float(jnp.max(jnp.abs(single))) + 1e-3, fdiff
+    assert gdiff < 1e-5, gdiff
 
 
 def check_shard_map():
