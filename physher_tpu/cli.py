@@ -31,6 +31,12 @@ def main(argv=None):
                     help="jax platform (cpu/tpu); default: jax's choice")
     ap.add_argument("--f64", action="store_true", default=None,
                     help="enable float64 (default on CPU)")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="shard site patterns over N devices "
+                         "(overrides config init.devices)")
+    ap.add_argument("--mesh", default=None, metavar="CxP",
+                    help="2-D device mesh 'chains x patterns', e.g. 2x4 "
+                         "(overrides config init.mesh)")
     args = ap.parse_args(argv)
 
     # NOTE: TPU plugins may prepend themselves to jax_platforms at import
@@ -59,7 +65,13 @@ def main(argv=None):
 
     t0 = time.time()
     base_dir = os.path.dirname(os.path.abspath(args.config))
-    ctx, actions = build_config(cfg, base_dir=base_dir)
+    devices = None
+    if args.mesh:
+        c, p = args.mesh.lower().replace("x", " ").split()
+        devices = {"chains": int(c), "patterns": int(p)}
+    elif args.devices:
+        devices = args.devices
+    ctx, actions = build_config(cfg, base_dir=base_dir, devices=devices)
     seed = args.seed if args.seed is not None else getattr(ctx, "seed", 0)
 
     from .config.actions import Runner

@@ -237,8 +237,17 @@ class Runner:
 
         sampler = mcmc_mod.MCMC(space, log_prob,
                                 weights=weights or None)
+        # multi-device: chains ride the mesh's chain axis, patterns its
+        # data axis (config init.mesh / init.devices; ctx.mesh set by
+        # builder._attach_mesh)
+        mesh = getattr(self.ctx, "mesh", None)
+        n_chains = int(node.get("chains", 0))
+        if not n_chains:
+            n_chains = (int(mesh.shape["chains"])
+                        if mesh is not None and "chains" in mesh.shape
+                        else 1)
         res = sampler.run(self.next_key(), params, n_iter=length,
-                          every=every)
+                          every=every, n_chains=n_chains, mesh=mesh)
         self.results[node.get("id", "mcmc")] = res
         if getattr(res, "interrupted", False):
             print(f"MCMC interrupted: finalizing logs with "
@@ -537,7 +546,8 @@ class Runner:
             self.next_key(), space, like, prior, params, n_temps=n_temps,
             n_iter=length, every=int(node.get("every", 10)),
             burnin=int(node.get("burnin", length // 10)),
-            distribution_power=float(node.get("power", 0.3)))
+            distribution_power=float(node.get("power", 0.3)),
+            mesh=getattr(self.ctx, "mesh", None))
         self.results[node.get("id", "mmcmc")] = (temps, lls, res)
         ss, _ = marg.log_stepping_stone(lls, temps)
         ps, _ = marg.log_path_sampling(lls, temps)

@@ -18,6 +18,7 @@ operators, loggers) can address them.
 from __future__ import annotations
 
 import copy
+import math
 import os
 
 import numpy as np
@@ -586,6 +587,9 @@ def build_treelikelihood(node, ctx: Context) -> TreeLikelihood:
         import jax as _jax
 
         pad = 256 if _jax.default_backend() == "tpu" else 1
+    n_pat = getattr(ctx, "pattern_devices", 1)
+    if n_pat > 1:  # mesh run: per-shard slices must stay tile-aligned
+        pad = pad * n_pat // math.gcd(pad, n_pat)
     tlk = TreeLikelihood(
         sp, topo, subst, site_model, clock=clock, time_data=td,
         distances_init=dist0,
@@ -630,13 +634,42 @@ BUILDERS = {
 }
 
 
-def build_config(cfg: dict, base_dir: str = "."):
-    """Build every top-level model object; returns (Context, actions list)."""
+def build_config(cfg: dict, base_dir: str = ".", devices=None):
+    """Build every top-level model object; returns (Context, actions list).
+
+    Multi-device runs are declared in the config's ``init`` block (the
+    reference's seed block, src/physher.c:152) or via ``devices``:
+
+    - ``"init": {"devices": 4}`` — shard site patterns over 4 devices
+      (the reference's SIMD/OpenMP pattern axis, reborn as a mesh axis);
+    - ``"init": {"mesh": {"chains": 2, "patterns": 4}}`` — 2-D mesh:
+      MCMC chains / tempered-ladder replicas on 'chains', patterns on
+      'patterns'.
+
+    ``devices`` (int or {"chains":c,"patterns":p}) overrides the config
+    (the CLI --devices/--mesh flags). Every TreeLikelihood is built with a
+    compatible pattern padding and sharded via
+    parallel.mesh.shard_tree_likelihood; drivers read ``ctx.mesh``.
+    """
     cfg = _prune(copy.deepcopy(cfg))
     ctx = Context(base_dir)
     actions = cfg.pop("physher", [])
     init = cfg.pop("init", {})
     ctx.seed = int(init.get("seed", 0)) if isinstance(init, dict) else 0
+    ctx.mesh = None
+    ctx.mesh_shape = None
+    req = devices if devices is not None else (
+        init.get("mesh", init.get("devices"))
+        if isinstance(init, dict) else None)
+    if req is not None:
+        if isinstance(req, dict):
+            shape = {"chains": int(req.get("chains", 1)),
+                     "patterns": int(req.get("patterns", 1))}
+        else:
+            shape = {"chains": 1, "patterns": int(req)}
+        ctx.mesh_shape = shape
+        # builders read this to pick a shard-compatible pattern padding
+        ctx.pattern_devices = shape["patterns"]
     for key, node in cfg.items():
         if not isinstance(node, dict):
             continue
@@ -665,4 +698,36 @@ def build_config(cfg: dict, base_dir: str = "."):
             build_coalescent(node, ctx)
         else:
             raise ValueError(f"unknown model type {typ!r} for {key!r}")
+    if ctx.mesh_shape is not None:
+        _attach_mesh(ctx)
     return ctx, actions
+
+
+def _attach_mesh(ctx: Context):
+    """Create the device mesh declared in the config and shard every
+    TreeLikelihood's pattern-indexed constants over it (reduction point:
+    the weighted root sum, reference src/phyc/treelikelihood.c:1483-1486)."""
+    import jax
+
+    from ..models.treelikelihood import TreeLikelihood
+    from ..parallel.mesh import chain_pattern_mesh, pattern_mesh, \
+        shard_tree_likelihood
+
+    shape = ctx.mesh_shape
+    total = shape["chains"] * shape["patterns"]
+    devs = jax.devices()
+    if len(devs) < total:
+        raise ValueError(
+            f"config requests a {shape['chains']}x{shape['patterns']} mesh "
+            f"but only {len(devs)} devices are visible (set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={total} for a virtual "
+            f"CPU mesh)")
+    if shape["chains"] > 1:
+        ctx.mesh = chain_pattern_mesh(shape["chains"], devices=devs[:total])
+        ctx.chain_axis = "chains"
+    else:
+        ctx.mesh = pattern_mesh(devices=devs[:total])
+        ctx.chain_axis = None
+    for obj in ctx.objects.values():
+        if isinstance(obj, TreeLikelihood):
+            shard_tree_likelihood(obj, ctx.mesh)

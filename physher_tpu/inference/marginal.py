@@ -106,22 +106,26 @@ def log_path_sampling_modified(loglikes_per_temp, temperatures):
 def run_tempered_ladder(key, space: ParamSpace, log_like, log_prior,
                         params, *, n_temps=16, n_iter=20000, every=10,
                         burnin=2000, distribution_power=0.3, log_ref=None,
-                        **mcmc_kw):
+                        mesh=None, chain_axis="chains", **mcmc_kw):
     """Run the whole temperature ladder as one batched MCMC.
 
     Temperatures follow the Beta(distribution_power, 1.0) quantile spacing
     the reference/BEAST use: t_i = (i/(K-1))^(1/power), increasing.
     With ``log_ref`` the ladder is the generalized-stepping-stone path
     (like*prior)^T * ref^(1-T) (reference: mmcmc.c GSS mode) and the
-    recorded statistic is log(like*prior/ref). Returns
-    (temperatures, loglikes [K, S], mcmc result).
+    recorded statistic is log(like*prior/ref). With ``mesh`` the ladder
+    shards over the mesh's chain axis (n_temps must divide by it) while
+    patterns ride the data axis — the multi-device form of the batched
+    ladder (the reference runs its ladder sequentially, mmcmc.c:48-88).
+    Returns (temperatures, loglikes [K, S], mcmc result).
     """
     i = np.arange(n_temps)
     temps = (i / (n_temps - 1)) ** (1.0 / distribution_power)
     mcmc = MCMC(space, log_like=log_like, log_prior=log_prior,
                 log_ref=log_ref, **mcmc_kw)
     res = mcmc.run(key, params, n_iter=n_iter, every=every,
-                   temperatures=temps, burnin=burnin)
+                   temperatures=temps, burnin=burnin,
+                   mesh=mesh, chain_axis=chain_axis)
     # loglikes per temperature: [K temps] list of [S] arrays
     lls = [res.log_likelihood[:, k] for k in range(n_temps)]
     return temps, lls, res

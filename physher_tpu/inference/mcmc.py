@@ -212,7 +212,13 @@ class MCMC:
     def run(self, key, params: dict, *, n_iter: int = 10000, every: int = 10,
             n_chains: int = 1, temperatures=None, adapt: bool = True,
             adapt_interval: int = 200, burnin: int = 0,
-            init_step: float = 0.1, init_jitter: float = 0.0) -> MCMCResult:
+            init_step: float = 0.1, init_jitter: float = 0.0,
+            mesh=None, chain_axis: str = "chains") -> MCMCResult:
+        """``mesh``: place the chain batch on a device mesh — the chain
+        dimension shards over ``chain_axis`` (if the mesh has it) while the
+        target's pattern-sharded likelihood constants ride the mesh's data
+        axis (config surface: ``init.mesh``; the reference runs one chain
+        per process, src/phyc/mcmc.c:60-185)."""
         space = self.space
         dim = self._dim
         u0 = space.flatten_unconstrained(space.unconstrain(params))
@@ -226,6 +232,17 @@ class MCMC:
         if init_jitter:
             us = us + init_jitter * jax.random.normal(sub, us.shape,
                                                       dtype=u0.dtype)
+        if mesh is not None and chain_axis in mesh.shape:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if n_chains % mesh.shape[chain_axis]:
+                raise ValueError(
+                    f"n_chains={n_chains} not divisible by mesh axis "
+                    f"{chain_axis}={mesh.shape[chain_axis]}")
+            us = jax.device_put(
+                us, NamedSharding(mesh, PartitionSpec(chain_axis)))
+            temps = jax.device_put(
+                temps, NamedSharding(mesh, PartitionSpec(chain_axis)))
         sigmas = jnp.full(len(self.blocks), init_step, dtype=u0.dtype)
 
         masks = self.masks.astype(u0.dtype)
