@@ -218,6 +218,9 @@ class Runner:
         # operator weights -> per-spec proposal weights
         weights: dict = {}
         for op in node.get("operators", []):
+            if str(op.get("algorithm", "")).lower() == "vb" \
+                    or op.get("x") is None:
+                continue  # vb/topology operators carry no parameter block
             names = self.ctx.resolve_target(op.get("x"))
             w = float(op.get("weight", 1.0))
             for n in names:
@@ -235,8 +238,29 @@ class Runner:
         if "nni" in algs and isinstance(model, _TLK):
             return self._run_tree_mcmc(node, model, length, every)
 
+        # "vb" operator: independence proposals from a fitted variational
+        # distribution (reference: src/phyc/opvb.c, operator.c:419)
+        vb_prop, vb_w = None, 1.0
+        for op in node.get("operators", []):
+            if str(op.get("algorithm", "")).lower() == "vb":
+                vh = self.ctx.resolve(op.get("var", op.get("x")))
+                if getattr(vh, "vparams", None) is None:
+                    # fit on the fly (reference: opvb.c:96-150 builds and
+                    # optimizes a variational model when none is supplied)
+                    res = vb_mod.fit(vh.family, self.next_key(),
+                                     steps=2000, tol=1e-4)
+                    vh.vparams = res.vparams
+                if vh.family.space.unconstrained_size != \
+                        space.unconstrained_size:
+                    raise ValueError(
+                        "vb operator: variational space does not match "
+                        "the MCMC model's parameter space")
+                vb_prop = mcmc_mod.vb_proposal_from(vh.family, vh.vparams)
+                vb_w = float(op.get("weight", 1.0))
+
         sampler = mcmc_mod.MCMC(space, log_prob,
-                                weights=weights or None)
+                                weights=weights or None,
+                                vb_proposal=vb_prop, vb_weight=vb_w)
         # multi-device: chains ride the mesh's chain axis, patterns its
         # data axis (config init.mesh / init.devices; ctx.mesh set by
         # builder._attach_mesh)

@@ -145,7 +145,8 @@ def build_distribution(node, ctx: Context):
     if dist == "dirichlet" and "alpha" not in hyper:
         hyper["alpha"] = 1.0
 
-    prior = PriorModel(name, [(t, None) for t in targets], hyper)
+    prior = PriorModel(name, [(t, None) for t in targets], hyper,
+                       shift=float(node.get("shift", 0.0)))
     if x_specs:
         prior.extra_param_specs = list(x_specs)
     ctx.register(did, prior)

@@ -148,6 +148,20 @@ class HMC:
                           np.asarray(acc_hist), np.asarray([eps]), space)
 
 
+def vb_proposal_from(family, vparams):
+    """(sample_fn, logq_fn) over the flat unconstrained vector from a
+    fitted variational family (``MeanFieldNormalVB``/``FullRankNormalVB``)
+    — the MCMC independence-proposal form of the reference's "vb"
+    operator (src/phyc/opvb.c)."""
+    def sample_fn(key):
+        return family.sample_unconstrained(vparams, key, 1)[0]
+
+    def logq_fn(u):
+        return family.log_q(vparams, u)
+
+    return sample_fn, logq_fn
+
+
 class MCMC:
     """Metropolis within jit over a ParamSpace.
 
@@ -158,7 +172,8 @@ class MCMC:
 
     def __init__(self, space: ParamSpace, log_prob: Callable = None, *,
                  log_like: Callable = None, log_prior: Callable = None,
-                 log_ref: Callable = None, weights: dict | None = None):
+                 log_ref: Callable = None, weights: dict | None = None,
+                 vb_proposal=None, vb_weight: float = 1.0):
         self.space = space
         if log_prob is None and log_like is None:
             raise ValueError("need log_prob or log_like")
@@ -169,6 +184,15 @@ class MCMC:
         # the tempered target is (like*prior)^T * ref^(1-T)
         # (reference: mmcmc.c:18-105 GSS mode)
         self.log_ref = log_ref
+        # independence proposals from a fitted variational distribution
+        # (reference: src/phyc/opvb.c "vb" operator — whose own logHR is an
+        # acknowledged TODO at opvb.c:55; here the Hastings correction
+        # log q(u) - log q(u') is applied): vb_proposal =
+        # (sample_fn(key) -> u[dim], logq_fn(u) -> scalar) over the flat
+        # unconstrained vector, e.g. from MeanFieldNormalVB via
+        # ``vb_proposal_from``.
+        self.vb_proposal = vb_proposal
+        self.vb_weight = float(vb_weight)
         # one proposal block per free spec
         self.blocks = []
         idx = 0
@@ -185,6 +209,11 @@ class MCMC:
             w.append(weight)
             self.blocks.append(s.name)
             idx += n
+        if self.vb_proposal is not None:
+            # extra roulette slot for the independence move; mask unused
+            masks.append(np.zeros(dim))
+            w.append(self.vb_weight)
+            self.blocks.append("<vb>")
         self.masks = jnp.asarray(np.stack(masks))
         self.weights = jnp.asarray(np.asarray(w) / np.sum(w))
 
@@ -248,14 +277,25 @@ class MCMC:
         masks = self.masks.astype(u0.dtype)
         weights = self.weights
 
+        vb = self.vb_proposal
+
         def kernel(state, key, sigmas, temp):
             u, logp, ll, acc, tries = state
-            k1, k2, k3 = jax.random.split(key, 3)
+            k1, k2, k3, k4 = jax.random.split(key, 4)
             b = jax.random.choice(k1, len(self.blocks), p=weights)
             eps = jax.random.normal(k2, u.shape, dtype=u.dtype)
             u_new = u + sigmas[b] * masks[b] * eps
+            log_hr = jnp.zeros((), u.dtype)
+            if vb is not None:
+                sample_fn, logq_fn = vb
+                u_vb = sample_fn(k4).astype(u.dtype)
+                is_vb = b == len(self.blocks) - 1
+                u_new = jnp.where(is_vb, u_vb, u_new)
+                # Hastings ratio for an independence proposal:
+                # q(current)/q(proposed)
+                log_hr = jnp.where(is_vb, logq_fn(u) - logq_fn(u_vb), 0.0)
             logp_new, ll_new = self._split_target(u_new, temp)
-            log_alpha = logp_new - logp
+            log_alpha = logp_new - logp + log_hr
             accept = jnp.log(jax.random.uniform(k3, dtype=u.dtype)) < log_alpha
             accept = accept & jnp.isfinite(logp_new)
             u = jnp.where(accept, u_new, u)

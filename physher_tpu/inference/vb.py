@@ -256,7 +256,8 @@ def fit_klpq(vb, key, *, steps: int = 2000, learning_rate: float = 0.05,
 def fit(vb, key, *, steps: int = 5000, learning_rate: float = 0.02,
         grad_samples: int = 1, elbo_samples: int = 100,
         elbo_every: int = 100, tol: float = 1e-4, patience: int = 10,
-        log_every: int = 0, chunk: int = 0) -> VBResult:
+        log_every: int = 0, chunk: int = 0,
+        rsqrt_decay: bool = True) -> VBResult:
     """Adam on the negative ELBO (reference: optimizer.c OPT_SG_ADAM +
     gradascent.c loop with periodic multi-sample ELBO checks).
 
@@ -265,8 +266,12 @@ def fit(vb, key, *, steps: int = 5000, learning_rate: float = 0.02,
     latency dominates an accelerator run, so chunking is what makes TPU VI
     competitive with the reference's in-cache CPU loop. Early stopping then
     happens at chunk granularity (``elbo_every`` is rounded up).
+
+    ``rsqrt_decay`` (default on) applies the reference's eta/sqrt(t)
+    schedule (gradascent.c:257): with one-sample gradients a constant lr
+    stalls ~4 nats above the optimum on the fluA ELBO config.
     """
-    opt = fast_adam(learning_rate)
+    opt = fast_adam(learning_rate, rsqrt_decay=rsqrt_decay)
     vparams = vb.init
     state = opt.init(vparams)
 
@@ -306,6 +311,11 @@ def fit(vb, key, *, steps: int = 5000, learning_rate: float = 0.02,
     stride = max(chunk, 1)
     check_every = max(1, -(-elbo_every // stride))  # chunks per ELBO check
     n_outer = -(-steps // stride)
+    # common random numbers for the convergence checks: one fixed
+    # evaluation key makes successive ELBO estimates comparable (with
+    # independent keys, a +1-sigma noise spike becomes an unbeatable
+    # "best" and patience fires ~2 nats before the true optimum)
+    key, eval_key = jax.random.split(key)
     for outer in range(n_outer):
         key, sub = jax.random.split(key)
         if chunk > 1:
@@ -314,8 +324,7 @@ def fit(vb, key, *, steps: int = 5000, learning_rate: float = 0.02,
             vparams, state, val = step(vparams, state, sub)
         it = (outer + 1) * stride
         if (outer + 1) % check_every == 0:
-            key, sub = jax.random.split(key)
-            e = float(eval_elbo(vparams, sub))
+            e = float(eval_elbo(vparams, eval_key))
             history.append(e)
             if log_every:
                 print(f"iter {it} elbo {e:.4f}")

@@ -200,12 +200,16 @@ class PriorModel:
     """
 
     def __init__(self, dist: str, targets, hyper: dict, prefix: str = "",
-                 hyper_free: dict | None = None):
+                 hyper_free: dict | None = None, shift: float = 0.0):
         self.dist = dist
         self.targets = list(targets)
         self.hyper = dict(hyper)
         self.prefix = prefix
         self.hyper_free = dict(hyper_free or {})
+        # location offset: logP evaluated at x - shift (reference:
+        # src/phyc/distmodel.h:83 ``double shift``, applied in e.g.
+        # distgamma.c:31; standard for node-calibration densities)
+        self.shift = float(shift)
         if dist not in LOGPDFS:
             raise ValueError(f"unknown distribution {dist!r}")
 
@@ -242,6 +246,8 @@ class PriorModel:
 
     def log_prob(self, params):
         x = self.gather(params)
+        if self.shift:
+            x = x - self.shift
         kw = self.hyper_values(params)
         fn = LOGPDFS[self.dist]
         if self.dist in ("dirichlet", "multivariatenormal", "gmrf"):

@@ -28,8 +28,15 @@ class AdamState(NamedTuple):
 
 
 def adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
-         eps: float = 1e-8) -> optax.GradientTransformation:
-    """Adam with bias correction, one flat tree_map per moment."""
+         eps: float = 1e-8,
+         rsqrt_decay: bool = False) -> optax.GradientTransformation:
+    """Adam with bias correction, one flat tree_map per moment.
+
+    ``rsqrt_decay=True`` scales the step by 1/sqrt(t) — the reference's
+    stochastic-Adam schedule (src/phyc/gradascent.c:257 ``eta_scaled = eta
+    / sqrt(iter)``), which is what drives its ELBO fits below the
+    constant-lr Monte-Carlo noise floor (~4 nats on the fluA config with
+    one gradient sample)."""
 
     def init(params):
         return AdamState(
@@ -49,8 +56,11 @@ def adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
                           state.nu, grads)
         c1 = 1.0 - b1 ** tf
         c2 = 1.0 - b2 ** tf
+        lr = learning_rate
+        if rsqrt_decay:
+            lr = lr * jax.lax.rsqrt(tf)
         updates = jax.tree.map(
-            lambda m, v: (-learning_rate) * (m / c1)
+            lambda m, v: (-lr) * (m / c1)
             / (jnp.sqrt(v / c2) + eps), mu, nu)
         return updates, AdamState(count, mu, nu)
 

@@ -1,0 +1,13 @@
+/* gslshim: error-handler stubs (see gsl_rng.h header note). */
+#ifndef GSLSHIM_ERRNO_H
+#define GSLSHIM_ERRNO_H
+
+typedef void gsl_error_handler_t(const char *reason, const char *file,
+                                 int line, int gsl_errno);
+gsl_error_handler_t *gsl_set_error_handler(gsl_error_handler_t *h);
+gsl_error_handler_t *gsl_set_error_handler_off(void);
+
+#define GSL_SUCCESS 0
+#define GSL_EDOM 1
+
+#endif

@@ -99,6 +99,41 @@ int main(int argc, char** argv) {
         double dt = ((t1.tv_sec - t0.tv_sec) +
                      1e-9 * (t1.tv_nsec - t0.tv_nsec)) / iters;
         printf("bench_logP_ms %.4f\n", dt * 1e3);
+
+        /* value+gradient: the reference's O(N) analytic branch gradient
+         * through the Model wrapper (same methodology as reforacle.c /
+         * bench.py's GTR+G4 and WAG rows; reference machinery:
+         * treelikelihood.c:320-341 TreeLikelihood_gradient after
+         * prepare_gradient). */
+        Model* mtree = new_TreeModel("tree", tree);
+        Model* mfreqs = new_SimplexModel("freqs", freqs);
+        Model* msubst = new_SubstitutionModel2("subst", sm, mfreqs, NULL);
+        Model* msite = new_SiteModel2("sitemodel", sitemodel, NULL);
+        Model* model =
+            new_TreeLikelihoodModel("tlk", tlk, mtree, msubst, msite, NULL);
+        Node** nodes = Tree_get_nodes(tree, POSTORDER);
+        Parameters* ps = new_Parameters(Tree_node_count(tree));
+        for (int i = 0; i < Tree_node_count(tree); i++) {
+            Node* n = nodes[i];
+            if (!Node_isroot(n) && n->distance != NULL) {
+                Parameters_add(ps, n->distance);
+            }
+        }
+        model->prepare_gradient(model, ps);
+        double acc = 0, lp = 0;
+        clock_gettime(CLOCK_MONOTONIC_RAW, &t0);
+        for (int it = 0; it < iters; it++) {
+            SingleTreeLikelihood_update_all_nodes(tlk);
+            lp = model->logP(model);
+            for (size_t i = 0; i < Parameters_count(ps); i++) {
+                acc += model->dlogP(model, Parameters_at(ps, i));
+            }
+        }
+        clock_gettime(CLOCK_MONOTONIC_RAW, &t1);
+        double dt_grad = ((t1.tv_sec - t0.tv_sec) +
+                          1e-9 * (t1.tv_nsec - t0.tv_nsec)) / iters;
+        printf("bench_value_grad_ms %.4f logP %.10g acc %.6g\n",
+               dt_grad * 1e3, lp, acc);
     }
     return 0;
 }
