@@ -189,7 +189,8 @@ class Runner:
                     np.asarray(dist)[: topo.N - 1], nan=0.05),
                 tipstates=False, prefix=tlk.prefix, dtype=tlk.dtype)
 
-        search = TopologySearch(factory, algorithm=move, tol=max(tol, 1e-3))
+        search = TopologySearch(factory, algorithm=move, tol=max(tol, 1e-3),
+                                max_rounds=int(node.get("rounds", 50)))
         dist0 = np.concatenate([np.asarray(tlk.distances_init), [np.nan]])
         res = search.run(tlk.topo, dist0)
         # replace the registered likelihood with the final tree's

@@ -128,8 +128,13 @@ class TreeLikelihood:
         tp = site_pattern.tip_partials(
             tipstates=tipstates or not use_ambiguities, pad_to=self._P,
             dtype=np.float64)
-        self.tip_partials = jnp.asarray(tp[order], dtype=self.dtype)
-        self.weights = jnp.asarray(
+        # HOST-side constants: jit embeds numpy closure constants directly
+        # during lowering, whereas device-committed jnp arrays are fetched
+        # back device->host at EVERY fresh-process lowering — minutes over
+        # a remote-TPU tunnel. shard_tree_likelihood device_puts these when
+        # a mesh is attached (the only consumer that needs placement).
+        self.tip_partials = np.asarray(tp[order], dtype=self.dtype)
+        self.weights = np.asarray(
             site_pattern.padded_weights(self._P), dtype=self.dtype)
 
         if distances_init is None:
@@ -205,6 +210,14 @@ class TreeLikelihood:
             name = _ENGINE_OVERRIDE[-1]
         if name == "xla":
             return tree_log_likelihood
+        if name == "auto" and self._prefer_staged() \
+                and self._pallas_staged_fits():
+            # large pattern counts amortize the staged kernel's per-stage
+            # grid steps and its blockP streaming beats the fused kernel's
+            # in-VMEM re-walk (128-taxa x 16k patterns: 4.6 vs 5.1 ms
+            # value+grad on v5e); small tiles counts (fluA: 1 tile) favor
+            # the fused whole-postorder-per-tile kernel
+            name = "pallas-staged"
         if name == "pallas-fused" or (
                 name == "auto" and self._pallas_fused_fits()):
             interpret = jax.default_backend() != "tpu"
@@ -251,6 +264,12 @@ class TreeLikelihood:
 
             return run
         return tree_log_likelihood
+
+    def _prefer_staged(self) -> bool:
+        from ..ops.pallas_staged import TILE
+
+        return self.tip_partials.shape[1] == 4 and \
+            self._shard_P() >= 32 * TILE
 
     def _shard_P(self) -> int:
         """Per-device pattern count: the Pallas kernels see the per-shard
