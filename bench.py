@@ -102,17 +102,47 @@ def timeit(fn, params, n=20, key=None):
     import jax
 
     if key is None:
-        key = next(k for k in params
-                   if "rate" in k or "kappa" in k or "distance" in k)
-    vs = [dict(params, **{key: params[key] * (1.0 + 1e-3 * (i + 1))})
-          for i in range(n)]
-    out = fn(vs[0])
-    jax.block_until_ready(out)
+        # a key whose perturbation CHANGES the likelihood (scaling the
+        # whole GTR rate vector is inert — Q is renormalized)
+        for pref in ("bm.rate", "rate"):
+            if pref in params:
+                key = pref
+                break
+        else:
+            key = next(k for k in params
+                       if "distance" in k or "kappa" in k or "shape" in k)
+
+    # per-process random salt: the execution cache PERSISTS across
+    # processes in the terminal, so deterministic perturbations collide
+    # with earlier bench runs
+    salt = np.random.default_rng(time.time_ns()).uniform(1e-6, 1e-4)
+
+    def variant(j):
+        return dict(params,
+                    **{key: params[key] * (1.0 + salt * (j + 1))})
+
+    def sync(out):
+        # jax.block_until_ready on a nested list-of-(value, grads) pytree
+        # returned without blocking on this stack (measured: a 5 ms/call
+        # batch "finished" in 0.05 ms/call and its work spilled into the
+        # next timer); block each leaf and fetch one concrete value
+        for leaf in jax.tree_util.tree_leaves(out):
+            leaf.block_until_ready()
+        return float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+
+    sync(fn(variant(0)))
     best = 1e18
-    for _ in range(3):
+    for rep in range(3):
+        # inputs unique across ALL calls of all repeats — the execution
+        # cache would otherwise serve repeats 2-3 from repeat 1
+        vs = [variant(1 + rep * n + i) for i in range(n)]
         t0 = time.perf_counter()
         outs = [fn(v) for v in vs]
-        jax.block_until_ready(outs)
+        # device executions are serialized in-order (measured: a batch's
+        # unsynced work spills into the NEXT timer), so syncing the last
+        # output covers the whole batch without paying a tunnel round
+        # trip per call
+        sync(outs[-1])
         best = min(best, (time.perf_counter() - t0) / n)
     return best
 
