@@ -218,7 +218,7 @@ class TopologySearch:
 
         rates, props = tlk.site_model.rates_props(params)
         freqs = tlk.subst.frequencies(params)
-        tp = tlk.tip_partials
+        tp = jnp.asarray(tlk.tip_partials)
         w = tlk.weights
         subst = tlk.subst
         steps = self.bl_opt_steps
@@ -275,7 +275,7 @@ class TopologySearch:
         blc = jnp.asarray(bls)[:, :, None] * rates[None, None, :]
         pmats = tlk.subst.p_t(params, blc).astype(tlk.dtype)  # [B,N,C,S,S]
 
-        tp = tlk.tip_partials  # [T, S, P] in base order
+        tp = jnp.asarray(tlk.tip_partials)  # [T, S, P] in base order
 
         if "score" not in self._scorers:
             @jax.jit

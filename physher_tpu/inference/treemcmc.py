@@ -89,7 +89,7 @@ class TreeMCMC:
 
     def _make_eval(self):
         tlk, space = self.tlk, self.space
-        tp = tlk.tip_partials
+        tp = jnp.asarray(tlk.tip_partials)
         w = tlk.weights
 
         @jax.jit
