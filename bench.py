@@ -267,6 +267,11 @@ def bench_elbo(extras):
     extras["fluA_elbo_vs_ref_cpu"] = round(
         (1.0 / dt) / REF["elbo_iters_per_s"], 2)
     extras["fluA_elbo_compile_s"] = round(compile_s, 1)
+    # end-to-end on the reference's own 10k-iteration schedule, INCLUDING
+    # one-time compile (the reference binary's 8 s includes its startup)
+    extras["fluA_elbo_end_to_end_10k_s"] = round(compile_s + 10000 * dt, 2)
+    extras["fluA_elbo_end_to_end_vs_ref"] = round(
+        8.0 / (compile_s + 10000 * dt), 2)
 
     # convergence: same schedule as the reference (eta/sqrt(t) Adam)
     res = vb_mod.fit(vh.family, jax.random.PRNGKey(2), steps=6000,

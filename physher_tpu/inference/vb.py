@@ -253,6 +253,51 @@ def fit_klpq(vb, key, *, steps: int = 2000, learning_rate: float = 0.05,
     return VBResult(vparams, float(kl), steps, history)
 
 
+def _fit_compiled(vb, *, learning_rate, grad_samples, chunk, elbo_samples,
+                  rsqrt_decay):
+    """Compiled step / chunk / eval functions, cached PER FAMILY INSTANCE.
+
+    ``fit`` used to define fresh ``@jax.jit`` closures on every call, so
+    every fit — including a timed one right after a warmup — paid full
+    XLA recompilation (~2 s on fluA; BENCH_r04's 434 it/s "throughput"
+    was really compile time over 1000 steps). Caching on the instance
+    makes repeat fits steady-state: the honest fluA rate is ~6000 it/s.
+    """
+    cache = getattr(vb, "_fit_cache", None)
+    if cache is None:
+        cache = vb._fit_cache = {}
+    ck = (learning_rate, grad_samples, chunk, elbo_samples, rsqrt_decay)
+    if ck in cache:
+        return cache[ck]
+
+    opt = fast_adam(learning_rate, rsqrt_decay=rsqrt_decay)
+
+    @jax.jit
+    def step(vparams, state, key):
+        val, grads = jax.value_and_grad(
+            lambda vp: -vb.elbo(vp, key, grad_samples))(vparams)
+        updates, state = opt.update(grads, state, vparams)
+        return optax.apply_updates(vparams, updates), state, -val
+
+    @jax.jit
+    def run_chunk(vparams, state, key):
+        def body(carry, k):
+            vp, st = carry
+            vp, st, val = step(vp, st, k)
+            return (vp, st), val
+
+        keys = jax.random.split(key, chunk)
+        (vparams, state), vals = jax.lax.scan(body, (vparams, state), keys)
+        return vparams, state, vals[-1]
+
+    @jax.jit
+    def eval_elbo(vparams, key):
+        return vb.elbo(vparams, key, elbo_samples)
+
+    cache[ck] = (opt, step, run_chunk, eval_elbo)
+    return cache[ck]
+
+
 def fit(vb, key, *, steps: int = 5000, learning_rate: float = 0.02,
         grad_samples: int = 1, elbo_samples: int = 100,
         elbo_every: int = 100, tol: float = 1e-4, patience: int = 10,
@@ -271,37 +316,11 @@ def fit(vb, key, *, steps: int = 5000, learning_rate: float = 0.02,
     schedule (gradascent.c:257): with one-sample gradients a constant lr
     stalls ~4 nats above the optimum on the fluA ELBO config.
     """
-    opt = fast_adam(learning_rate, rsqrt_decay=rsqrt_decay)
+    opt, step, run_chunk, eval_elbo = _fit_compiled(
+        vb, learning_rate=learning_rate, grad_samples=grad_samples,
+        chunk=chunk, elbo_samples=elbo_samples, rsqrt_decay=rsqrt_decay)
     vparams = vb.init
     state = opt.init(vparams)
-
-    @jax.jit
-    def step(vparams, state, key):
-        val, grads = jax.value_and_grad(
-            lambda vp: -vb.elbo(vp, key, grad_samples))(vparams)
-        updates, state = opt.update(grads, state, vparams)
-        return optax.apply_updates(vparams, updates), state, -val
-
-    @jax.jit
-    def run_chunk(vparams, state, key):
-        def body(carry, k):
-            vp, st = carry
-            vp, st, val = step_inner(vp, st, k)
-            return (vp, st), val
-
-        def step_inner(vp, st, k):
-            val, grads = jax.value_and_grad(
-                lambda q: -vb.elbo(q, k, grad_samples))(vp)
-            updates, st = opt.update(grads, st, vp)
-            return optax.apply_updates(vp, updates), st, -val
-
-        keys = jax.random.split(key, chunk)
-        (vparams, state), vals = jax.lax.scan(body, (vparams, state), keys)
-        return vparams, state, vals[-1]
-
-    @jax.jit
-    def eval_elbo(vparams, key):
-        return vb.elbo(vparams, key, elbo_samples)
 
     best = -np.inf
     best_v = vparams
@@ -334,4 +353,10 @@ def fit(vb, key, *, steps: int = 5000, learning_rate: float = 0.02,
                 since += 1
                 if since >= patience:
                     break
+    # materialize before returning: with no ELBO checks the whole fit is
+    # async-dispatched and a caller's wall-clock would otherwise stop
+    # before the device work ran
+    jax.block_until_ready(best_v if history else vparams)
+    if not history:
+        best_v = vparams
     return VBResult(best_v, best, it, history)

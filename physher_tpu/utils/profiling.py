@@ -58,6 +58,63 @@ def time_jit(fn, *args, calls: int = 20, warmup: int = 2) -> Timing:
     return Timing(compile_s, (time.perf_counter() - t0) / calls, calls)
 
 
+def trace_op_times(fn, args_seq, *, log_dir: str = "/tmp/physher_tpu_trace",
+                   top: int = 20):
+    """MEASURED device-op timing: run ``fn`` over ``args_seq`` (a sequence
+    of argument tuples — perturb inputs between calls so nothing is served
+    from an execution cache) under a jax.profiler trace, then parse the
+    trace-event JSON and aggregate per-op durations on the device's
+    "XLA Ops" track.
+
+    Returns ``(total_device_s, [(op_name, seconds, count), ...])`` with the
+    list sorted by time, truncated to ``top``. Total is device-busy time
+    across ALL calls — divide by ``len(args_seq)`` for per-call.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import os
+    import shutil
+
+    import jax
+
+    shutil.rmtree(log_dir, ignore_errors=True)
+    out = fn(*args_seq[0])
+    jax.block_until_ready(out)           # compile outside the trace
+    jax.profiler.start_trace(log_dir)
+    try:
+        for args in args_seq:
+            out = fn(*args)
+        jax.block_until_ready(out)
+    finally:
+        jax.profiler.stop_trace()
+
+    paths = glob.glob(os.path.join(
+        log_dir, "plugins", "profile", "*", "*.trace.json.gz"))
+    if not paths:
+        return 0.0, []
+    with gzip.open(max(paths, key=os.path.getmtime)) as f:
+        data = json.load(f)
+    evs = data.get("traceEvents", [])
+    dev_pids = {e["pid"] for e in evs
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in e["args"].get("name", "")}
+    op_tids = {(e["pid"], e["tid"]) for e in evs
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and e["pid"] in dev_pids
+               and e["args"].get("name") == "XLA Ops"}
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    for e in evs:
+        if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_tids:
+            agg[e["name"]] += e["dur"]
+            cnt[e["name"]] += 1
+    total = sum(agg.values()) / 1e6
+    rows = [(name, us / 1e6, cnt[name]) for name, us in agg.most_common(top)]
+    return total, rows
+
+
 # -- roofline ---------------------------------------------------------------
 
 # peak dense f32-equivalent FLOPs and HBM bandwidth per chip generation
