@@ -214,9 +214,11 @@ class TreeLikelihood:
                 and self._pallas_staged_fits():
             # large pattern counts amortize the staged kernel's per-stage
             # grid steps and its blockP streaming beats the fused kernel's
-            # in-VMEM re-walk (128-taxa x 16k patterns: 4.6 vs 5.1 ms
-            # value+grad on v5e); small tiles counts (fluA: 1 tile) favor
-            # the fused whole-postorder-per-tile kernel
+            # in-VMEM re-walk. Sustained perturbed-scan protocol
+            # (bench.sustained, n=32, v5e, 128 taxa x 16k patterns,
+            # value+grad ms): staged 4.26, fused 4.76, xla 5.68,
+            # loop 12.2. Small tile counts (fluA: 1 tile) favor the fused
+            # whole-postorder-per-tile kernel
             name = "pallas-staged"
         if name == "pallas-fused" or (
                 name == "auto" and self._pallas_fused_fits()):
@@ -264,6 +266,24 @@ class TreeLikelihood:
 
             return run
         return tree_log_likelihood
+
+    def engine_name(self) -> str:
+        """The engine auto-selection's concrete choice for this model
+        (for benchmarking/diagnostics: BENCH records what auto picked)."""
+        name = self.engine
+        if _ENGINE_OVERRIDE:
+            name = _ENGINE_OVERRIDE[-1]
+        if name != "auto":
+            return name
+        if self._prefer_staged() and self._pallas_staged_fits():
+            return "pallas-staged"
+        if self._pallas_fused_fits():
+            return "pallas-fused"
+        if self._pallas_staged_fits():
+            return "pallas-staged"
+        if self._pallas_loop_fits():
+            return "pallas-loop"
+        return "xla"
 
     def _prefer_staged(self) -> bool:
         from ..ops.pallas_staged import TILE

@@ -2,19 +2,30 @@
 
 Usage: python tools/perf_lab.py [variant ...]
 Not part of the framework; a scratch harness for tuning the Pallas kernels.
+
+Round-5 protocol rewrite (round-4 review: this harness used to time
+UNPERTURBED repeated calls and reported a physically impossible
+559 M patterns/s — execution-cache hits). It now shares bench.py's
+variance-aware discipline: ``sustained`` chains perturbed evaluations
+through one lax.scan dispatch (amortizing the remote-tunnel latency that
+dominates per-call wall-clock), best of 3 repeats, fresh per-process salt
+so no two invocations ever see identical inputs; ``timeit`` is the
+dispatch-inclusive single-call counterpart. Both come from bench.py —
+one protocol, no drift.
 """
 
 from __future__ import annotations
 
+import os
 import sys
-import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import sustained, timeit  # noqa: E402  (the shared protocol)
 from physher_tpu.utils.synthetic import balanced_topology, random_sitepattern
 from physher_tpu.models.substitution import GTR
 from physher_tpu.models.sitemodel import GammaSiteModel
@@ -42,29 +53,24 @@ def build(engine="auto"):
     )
 
 
-def timeit(fn, *args, n=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
-
-
 def report(name, dt):
     pps = N_PATTERNS / dt
-    print(f"{name:36s} {dt*1e3:9.3f} ms  {pps/1e6:8.3f} M patterns/s")
+    print(f"{name:44s} {dt*1e3:9.3f} ms  {pps/1e6:8.3f} M patterns/s")
 
 
 def run_engine(engine):
     tlk = build(engine)
     space = tlk.param_space()
     params = space.init_params(dtype=jnp.float32)
-    f = jax.jit(tlk.log_likelihood)
-    vg = jax.jit(jax.value_and_grad(tlk.log_likelihood))
-    report(f"{engine}: forward", timeit(f, params))
-    report(f"{engine}: value+grad", timeit(vg, params))
+    resolved = tlk.engine_name()
+    tag = engine if engine == resolved else f"{engine}->{resolved}"
+    report(f"{tag}: forward (sustained)",
+           sustained(tlk.log_likelihood, params, n=64))
+    report(f"{tag}: value+grad (sustained)",
+           sustained(jax.value_and_grad(tlk.log_likelihood), params, n=64))
+    report(f"{tag}: value+grad (single dispatch)",
+           timeit(jax.jit(jax.value_and_grad(tlk.log_likelihood)),
+                  params, n=10))
 
 
 if __name__ == "__main__":
