@@ -431,7 +431,8 @@ def bench_mcmc(extras):
     key = jax.random.PRNGKey(1)
 
     best = 0.0
-    for n_chains, n_iter in ((64, 512), (512, 512), (4096, 256)):
+    for n_chains, n_iter in ((64, 512), (512, 512), (4096, 256),
+                             (16384, 256)):
         mcmc = MCMC(space, jax.jit(tlk.log_likelihood))
 
         def run(seed):
@@ -453,6 +454,32 @@ def bench_mcmc(extras):
         best / REF["mcmc_proposals_per_s"], 2)
     extras["mcmc_vs_ref_cpu_floor"] = round(
         best / REF["timetree_logp_per_s"], 2)
+
+    # ESS/s: throughput is not worth anything if the chains don't mix —
+    # report effective samples per second of the log-posterior across a
+    # 512-chain run (64 chains' traces Geyer-ESS'd on host, scaled by
+    # chain count) plus split-R-hat over the full batch (round-4 review
+    # ask; utilities: utils/stats.py, matching the reference's single
+    # long chain at 10,342 raw proposals/s)
+    from physher_tpu.utils.stats import effective_sample_size, split_r_hat
+
+    n_chains, n_iter, every, burn = 512, 4096, 16, 1024
+    mcmc = MCMC(space, jax.jit(tlk.log_likelihood))
+    mcmc.run(jax.random.PRNGKey(0), params, n_iter=256, every=16,
+             n_chains=n_chains, burnin=64)  # compile both chunk shapes
+    t0 = time.perf_counter()
+    res = mcmc.run(jax.random.PRNGKey(9), params, n_iter=n_iter,
+                   every=every, n_chains=n_chains, burnin=burn,
+                   init_jitter=0.05)
+    wall = time.perf_counter() - t0
+    lps = res.log_posterior  # [S, C]
+    ess_per_chain = [effective_sample_size(lps[:, c]) for c in range(64)]
+    total_ess = float(np.mean(ess_per_chain)) * n_chains
+    extras["mcmc_ess_per_s"] = round(total_ess / wall, 1)
+    extras["mcmc_split_rhat_logpost"] = round(split_r_hat(lps.T), 4)
+    extras["mcmc_ess_run"] = (
+        f"{n_chains} chains x {n_iter} it (burnin {burn}, thin {every}) "
+        f"in {wall:.1f} s")
 
 
 def main():

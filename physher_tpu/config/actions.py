@@ -84,7 +84,8 @@ class Runner:
             res = vb_mod.fit(
                 model.family, self.next_key(), steps=max_iter,
                 learning_rate=lr, grad_samples=model.grad_samples,
-                elbo_samples=model.elbo_samples, tol=tol)
+                elbo_samples=model.elbo_samples, tol=tol,
+                mesh=getattr(self.ctx, "mesh", None))
             model.vparams = res.vparams
             self.results[node.get("id", "vb")] = res
             print(f"ELBO: {res.elbo:.6f} ({res.iterations} iterations)",
@@ -107,7 +108,7 @@ class Runner:
             sub_params = {k: params[k] for k in sub_space.names}
             method = {"sg": "adam", "adam": "adam"}.get(algorithm, "meta")
             res = ml.optimize(fn, sub_space, sub_params, method=method,
-                              tol=tol)
+                              tol=tol, mesh=getattr(self.ctx, "mesh", None))
             params.update(res.params)
         else:
             method = {"sg": "adam", "adam": "adam",
@@ -122,7 +123,8 @@ class Runner:
                 # e.g. examples/fluA/GTR-G4-ML.json)
                 kw["n_starts"] = int(node.get("starts", 6))
             res = ml.optimize(log_prob, space, params, method=method,
-                              tol=tol, **kw)
+                              tol=tol, mesh=getattr(self.ctx, "mesh", None),
+                              **kw)
             params = dict(res.params)
         self.update_pool(params)
         self.results[node.get("id", "optimizer")] = res

@@ -314,11 +314,23 @@ def _multistart_warmup(log_prob, space: ParamSpace, params: dict, *,
 
 
 def optimize(log_prob, space: ParamSpace, params: dict, *,
-             method: str = "meta", n_starts: int = 1, **kw) -> OptResult:
+             method: str = "meta", n_starts: int = 1, mesh=None,
+             **kw) -> OptResult:
     """Meta strategy: (optional vmapped multi-start warmup), Adam, L-BFGS
     polish, then bounded-Brent scalar line searches, looping until no round
     improves by more than ``tol`` (the reference's meta-optimizer loop
-    contract, optimizer.c:154-210 with serial-Brent sub-optimizers)."""
+    contract, optimizer.c:154-210 with serial-Brent sub-optimizers).
+
+    ``mesh``: replicate the parameters over a device mesh so every
+    optimization step runs sharded — the target's TreeLikelihood pattern
+    constants carry the data-axis sharding and GSPMD places the psum at
+    the weighted root reduction (BASELINE workload #5 for the ML
+    estimator family; reference reduction point:
+    src/phyc/treelikelihood.c:1483-1486)."""
+    if mesh is not None:
+        from ..parallel.mesh import replicate
+
+        params = replicate(mesh, params)
     if method == "adam":
         return optimize_adam(log_prob, space, params, **kw)
     if method == "lbfgs":

@@ -302,7 +302,7 @@ def fit(vb, key, *, steps: int = 5000, learning_rate: float = 0.02,
         grad_samples: int = 1, elbo_samples: int = 100,
         elbo_every: int = 100, tol: float = 1e-4, patience: int = 10,
         log_every: int = 0, chunk: int = 0,
-        rsqrt_decay: bool = True) -> VBResult:
+        rsqrt_decay: bool = True, mesh=None) -> VBResult:
     """Adam on the negative ELBO (reference: optimizer.c OPT_SG_ADAM +
     gradascent.c loop with periodic multi-sample ELBO checks).
 
@@ -315,11 +315,23 @@ def fit(vb, key, *, steps: int = 5000, learning_rate: float = 0.02,
     ``rsqrt_decay`` (default on) applies the reference's eta/sqrt(t)
     schedule (gradascent.c:257): with one-sample gradients a constant lr
     stalls ~4 nats above the optimum on the fluA ELBO config.
+
+    ``mesh``: replicate the variational parameters over a device mesh so
+    the fit runs sharded end-to-end — the target's TreeLikelihood
+    constants carry the pattern-axis sharding (parallel.mesh.
+    shard_tree_likelihood) and GSPMD inserts the psum at the weighted
+    root reduction (reference reduction point:
+    src/phyc/treelikelihood.c:1483-1486); BASELINE workload #5 for the
+    VI estimator family.
     """
     opt, step, run_chunk, eval_elbo = _fit_compiled(
         vb, learning_rate=learning_rate, grad_samples=grad_samples,
         chunk=chunk, elbo_samples=elbo_samples, rsqrt_decay=rsqrt_decay)
     vparams = vb.init
+    if mesh is not None:
+        from ..parallel.mesh import replicate
+
+        vparams = replicate(mesh, vparams)
     state = opt.init(vparams)
 
     best = -np.inf
@@ -358,5 +370,8 @@ def fit(vb, key, *, steps: int = 5000, learning_rate: float = 0.02,
     # before the device work ran
     jax.block_until_ready(best_v if history else vparams)
     if not history:
+        # no periodic ELBO check ran (steps < elbo_every): report the
+        # final state with one multi-sample evaluation instead of -inf
         best_v = vparams
+        best = float(eval_elbo(vparams, eval_key))
     return VBResult(best_v, best, it, history)

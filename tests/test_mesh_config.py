@@ -104,6 +104,41 @@ def test_action_mmcmc_path_sampling_on_mesh(cfg, data_dir):
     np.testing.assert_allclose(outs[1][3], outs[0][3], rtol=1e-9)
 
 
+def test_action_vb_fit_on_mesh_matches_single_device(data_dir):
+    """Variational fit (action_optimizer on a VariationalHandle) sharded
+    over the mesh == single-device: same seed -> same sample stream ->
+    same ELBO trajectory (round-4 review ask: mesh-aware VB; BASELINE
+    workload #5 for the VI family)."""
+    base = load_json(f"{data_dir}/fluA-elbo.json")
+    elbos = []
+    for devices in (None, {"chains": 1, "patterns": 4}):
+        ctx, actions = build_config(copy.deepcopy(base), base_dir=data_dir,
+                                    devices=devices)
+        r = Runner(ctx, seed=5)
+        node = dict(actions[0], max=40, tol=0.0)
+        node.pop("checkpoint", None)
+        res = r.action_optimizer(node)
+        elbos.append(res.elbo)
+        assert np.isfinite(res.elbo)
+    np.testing.assert_allclose(elbos[1], elbos[0], rtol=1e-9)
+
+
+def test_action_ml_optimize_on_mesh_matches_single_device(cfg, data_dir):
+    """Adam ML optimization through the config surface sharded over the
+    mesh == single-device (round-4 review ask: mesh-aware ML)."""
+    node = {"type": "optimizer", "algorithm": "adam", "max": 60,
+            "model": "&treelikelihood", "precision": 0.0}
+    logps = []
+    for devices in (None, {"chains": 1, "patterns": 4}):
+        ctx, _ = build_config(copy.deepcopy(cfg), base_dir=data_dir,
+                              devices=devices)
+        r = Runner(ctx, seed=5)
+        res = r.action_optimizer(dict(node))
+        logps.append(res.logp)
+        assert np.isfinite(res.logp)
+    np.testing.assert_allclose(logps[1], logps[0], rtol=1e-9)
+
+
 def test_cli_devices_flag(cfg, data_dir, tmp_path, capsys):
     """--devices through the physher-tpu CLI entry point."""
     import json
