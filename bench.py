@@ -433,7 +433,7 @@ def bench_mcmc(extras):
     best = 0.0
     for n_chains, n_iter in ((64, 512), (512, 512), (4096, 256),
                              (16384, 256)):
-        mcmc = MCMC(space, jax.jit(tlk.log_likelihood))
+        mcmc = MCMC(space, tlk.log_likelihood)
 
         def run(seed):
             # distinct seed per run: identical invocations can be served
@@ -464,7 +464,7 @@ def bench_mcmc(extras):
     from physher_tpu.utils.stats import effective_sample_size, split_r_hat
 
     n_chains, n_iter, every, burn = 512, 4096, 16, 1024
-    mcmc = MCMC(space, jax.jit(tlk.log_likelihood))
+    mcmc = MCMC(space, tlk.log_likelihood)
     mcmc.run(jax.random.PRNGKey(0), params, n_iter=256, every=16,
              n_chains=n_chains, burnin=64)  # compile both chunk shapes
     t0 = time.perf_counter()

@@ -73,7 +73,8 @@ class engine_override:
     not themselves differentiable, so jax.jacrev(jax.grad(f)) needs the
     plain XLA engine. Example: ``with engine_override("xla"): ...``.
     Every engine name is honored ("xla", "pallas-fused", "pallas-staged",
-    "pallas-loop", "auto"), bypassing the auto-selection VMEM gates.
+    "pallas-wide", "pallas-loop", "auto"), bypassing the auto-selection
+    VMEM gates.
     """
 
     def __init__(self, name: str):
@@ -283,6 +284,28 @@ class TreeLikelihood:
 
             def run(tips, pmats, topo, freqs, props, weights, rescale):
                 return staged_tree_log_likelihood(
+                    tips, pmats, topo, freqs, props, weights,
+                    rescale=rescale, interpret=interpret)
+
+            return run
+        if name == "pallas-wide":
+            # wide-state HBM-staged kernel (ops/pallas_wide.py): the
+            # tree-size-scalable Pallas path for S>=16 (stage buffer in
+            # HBM, VMEM O(R*TILE) regardless of depth). OPT-IN only:
+            # sustained perturbed-scan protocol on v5e measured the
+            # level-array XLA path 1.5-2x FASTER on every large-S shape
+            # (codon 64 taxa x 4096: fwd 1.74 vs 2.97 ms; codon 128:
+            # 2.56 vs 4.28; WAG 256: v+g 16.7 vs 19.9) — XLA's batched
+            # [S,S]@[S,P] dots pipeline better than per-step DMA staging
+            interpret = jax.default_backend() != "tpu"
+            from ..ops.pallas_wide import wide_tree_log_likelihood
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_map_wide_engine
+                return shard_map_wide_engine(
+                    self.mesh, self.pattern_axis, interpret=interpret)
+
+            def run(tips, pmats, topo, freqs, props, weights, rescale):
+                return wide_tree_log_likelihood(
                     tips, pmats, topo, freqs, props, weights,
                     rescale=rescale, interpret=interpret)
 

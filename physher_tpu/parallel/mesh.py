@@ -161,6 +161,28 @@ def shard_map_staged_engine(mesh: Mesh, axis_name: str = "patterns", *,
     return run
 
 
+def shard_map_wide_engine(mesh: Mesh, axis_name: str = "patterns", *,
+                          interpret: bool = False):
+    """Pattern-sharded wrapper for the wide-state HBM-staged Pallas kernel
+    (ops/pallas_wide.py; same psum reduction point)."""
+    from ..ops.pallas_wide import wide_site_log
+
+    def run(tips, pmats, topo, freqs, props, weights, *, rescale=True):
+        def shard_fn(tips_s, pmats_r, freqs_r, props_r, weights_s):
+            site = wide_site_log(tips_s, pmats_r, topo, freqs_r, props_r,
+                                 interpret=interpret)
+            logL = jax.lax.psum(jnp.sum(weights_s * site), axis_name)
+            return logL, site
+
+        fn = _shard_map(
+            shard_fn, mesh,
+            in_specs=(P(None, None, axis_name), P(), P(), P(), P(axis_name)),
+            out_specs=(P(), P(axis_name)))
+        return fn(tips, pmats, freqs, props, weights)
+
+    return run
+
+
 def shard_map_loop_engine(mesh: Mesh, axis_name: str = "patterns", *,
                           block: int = 4, interpret: bool = False):
     """Pattern-sharded wrapper for the loop-based Pallas pruning kernel.

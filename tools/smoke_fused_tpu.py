@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from physher_tpu.ops.pallas_fused import TILE, fused_tree_log_likelihood
 from physher_tpu.ops.pallas_staged import staged_tree_log_likelihood
 from physher_tpu.ops.pallas_pruning_loop import loop_tree_log_likelihood
+from physher_tpu.ops.pallas_wide import wide_tree_log_likelihood
 from physher_tpu.ops.pruning import pad_patterns, tree_log_likelihood
 from physher_tpu.utils.synthetic import balanced_topology
 
@@ -37,6 +38,7 @@ ENGINES = {
     "fused": fused_tree_log_likelihood,
     "staged": staged_tree_log_likelihood,
     "loop": loop_tree_log_likelihood,
+    "wide": wide_tree_log_likelihood,
 }
 
 
@@ -172,6 +174,12 @@ if __name__ == "__main__":
     check("S=4 C=4 128-taxa flagship", 4, 4, engine="staged",
           n_tips=128, n_sites=4096)
     check("S=4 C=4 (loop)", 4, 4, engine="loop")
+    # the wide HBM-staged kernel's target regime: large-S trees past the
+    # fused VMEM gate (round-4 review ask: on-device 64-taxa codon parity)
+    check("S=61 C=1 64-taxa codon", 61, 1, engine="wide", n_tips=64,
+          n_sites=1024)
+    check("S=20 C=4 256-taxa WAG", 20, 4, engine="wide", n_tips=256,
+          n_sites=512)
     check_vmap()
     check_shard_map()
     print("OK", flush=True)
