@@ -482,6 +482,42 @@ def bench_mcmc(extras):
         f"in {wall:.1f} s")
 
 
+def bench_treemcmc(extras):
+    """Device-side topology MCMC (BatchedTreeMCMC): NNI as index edits +
+    per-proposal postorder recomputation inside a vmapped-chain jitted
+    scan — vs the reference's single-chain host loop with incremental
+    recompute (10,342 proposals/s on its own fluA HKY-MCMC config; the
+    round-4 host-surgery TreeMCMC was proposal-latency-bound)."""
+    import jax
+    import jax.numpy as jnp
+
+    from physher_tpu.data.sitepattern import SitePattern
+    from physher_tpu.inference.treemcmc import BatchedTreeMCMC
+    from physher_tpu.io.seqio import read_alignment
+    from physher_tpu.models.substitution import JC69
+    from physher_tpu.models.treelikelihood import TreeLikelihood
+    from physher_tpu.data.distance import distance_matrix
+    from physher_tpu.trees.build import nj
+
+    aln = read_alignment(os.path.join(DATA, "fluA.fa"))
+    sp = SitePattern.from_alignment(aln)
+    topo, dist = nj(sp.taxa, distance_matrix(sp))
+    tlk = TreeLikelihood(sp, topo, JC69(), distances_init=dist[: topo.N - 1],
+                         dtype=jnp.float32)
+    tm = BatchedTreeMCMC(tlk)
+    for n_chains, n_iter in ((64, 256), (512, 128)):
+        tm.run(jax.random.PRNGKey(0), n_iter=n_iter, every=n_iter,
+               n_chains=n_chains)  # compile + warmup
+        dt = 1e18
+        for rep in range(3):
+            t0 = time.perf_counter()
+            tm.run(jax.random.PRNGKey(rep + 1), n_iter=n_iter,
+                   every=n_iter, n_chains=n_chains)
+            dt = min(dt, time.perf_counter() - t0)
+        extras[f"treemcmc_{n_chains}chain_proposals_per_s"] = round(
+            n_iter * n_chains / dt, 1)
+
+
 def main():
     import jax
     import jax.numpy as jnp  # noqa: F401
@@ -489,7 +525,8 @@ def main():
     extras = {"device": str(jax.devices()[0])}
     pps = bench_gtrg4(extras)
     for name, fn in (("wag", bench_wag), ("codon", bench_codon),
-                     ("elbo", bench_elbo), ("mcmc", bench_mcmc)):
+                     ("elbo", bench_elbo), ("mcmc", bench_mcmc),
+                     ("treemcmc", bench_treemcmc)):
         try:
             fn(extras)
         except Exception as e:  # keep the primary metric alive

@@ -257,3 +257,163 @@ class TreeMCMC:
                     walk(c, int(topo.children[k, j]))
 
         walk(nested, topo.root)
+
+
+class BatchedTreeMCMC:
+    """Vmapped-chain topology MCMC with NNI as DEVICE index edits.
+
+    The round-4 design (``TreeMCMC``) does host-side Python tree surgery
+    per proposal — correct but proposal-latency-bound. Here the whole
+    sampler state lives on device — per-chain children arrays [B, I, 2],
+    branch lengths [B, N] and unconstrained model parameters [B, dim] —
+    and the entire chunk of proposals runs as one jitted
+    ``vmap(lax.scan)``:
+
+    - NNI is two row edits on the children array
+      (ops/dynamic_pruning.propose_nni_device, matching the reference's
+      NNI operator src/phyc/operator.c:419-626 inside the mcmc.c loop),
+    - the evaluation order is recomputed per proposal from the edited
+      children by height fixed-point (postorder_from_children), so no
+      renumbering and no recompilation ever happens,
+    - branch-length moves are the reference's log-space scaler (Hastings
+      ratio log m), parameter moves a Gaussian walk on the unconstrained
+      block.
+
+    The per-chain branch-length prior is exponential(``bl_prior_rate``),
+    the reference configs' usual choice.
+    """
+
+    def __init__(self, tlk, *, bl_prior_rate: float = 10.0,
+                 p_nni: float = 0.4, p_bl: float = 0.4):
+        self.tlk = tlk
+        specs = [s for s in tlk.param_space().specs
+                 if s.name != tlk.key("distances")]
+        self.space = ParamSpace(specs)
+        self.dim = self.space.unconstrained_size
+        self.bl_prior_rate = float(bl_prior_rate)
+        self.p_nni = float(p_nni)
+        # with no free parameters the walk slot folds into the scaler
+        self.p_bl = float(p_bl) if self.dim else 1.0 - float(p_nni)
+        self._logpost = self._make_logpost()
+
+    def _make_logpost(self):
+        from ..ops.dynamic_pruning import (
+            postorder_from_children, tree_loglik_dynamic_ordered)
+
+        tlk = self.tlk
+        space = self.space
+        tp = jnp.asarray(tlk.tip_partials)
+        w = jnp.asarray(tlk.weights)
+        T = tlk.topo.T
+        rate = self.bl_prior_rate
+
+        def logpost(children, bl, u):
+            uparams = space.unflatten_unconstrained(u)
+            params = space.constrain(uparams)
+            rates, props = tlk.site_model.rates_props(params)
+            freqs = tlk.subst.frequencies(params)
+            blc = jnp.clip(bl, 0.0, None)[:, None] * rates[None, :]
+            pmats = tlk.subst.p_t(params, blc).astype(tlk.dtype)
+            order = postorder_from_children(children, T)
+            ll = tree_loglik_dynamic_ordered(
+                tp, pmats, children, order, freqs.astype(tlk.dtype),
+                props.astype(tlk.dtype), w, rescale=tlk.rescale)[0]
+            lp = ll + space.log_jacobian(uparams)
+            n_br = bl.shape[0] - 1
+            return lp + n_br * jnp.log(rate) - rate * jnp.sum(bl[:-1])
+
+        return logpost
+
+    def run(self, key, params: dict = None, *, n_iter: int = 2000,
+            every: int = 20, n_chains: int = 8, burnin: int = 0,
+            bl_lambda: float = 0.6, param_step: float = 0.1,
+            init_jitter: float = 0.0):
+        """Returns dict with per-chunk samples of children/bl/u/logp
+        stacked as [n_samples, n_chains, ...] plus acceptance rates."""
+        from ..ops.dynamic_pruning import propose_nni_device
+
+        tlk = self.tlk
+        topo = tlk.topo
+        T, N, I = topo.T, topo.N, topo.I
+        space = self.space
+        if params is None:
+            params = space.init_params()
+        u0 = space.flatten_unconstrained(space.unconstrain(params)) \
+            if self.dim else jnp.zeros(1)
+        dt = u0.dtype
+        ch0 = jnp.asarray(topo.children[:, :2], jnp.int32)
+        bl0 = jnp.concatenate([
+            jnp.asarray(np.nan_to_num(tlk.distances_init, nan=0.1), dt),
+            jnp.zeros(1, dt)])
+        p_nni, p_bl, dim = self.p_nni, self.p_bl, self.dim
+        logpost = self._logpost
+
+        def kernel(state, key):
+            children, bl, u, logp, acc = state
+            k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+            mv = jax.random.uniform(k1)
+            is_nni = mv < p_nni
+            is_bl = (mv >= p_nni) & (mv < p_nni + p_bl)
+            ch_new = propose_nni_device(k2, children, T)
+            children_p = jnp.where(is_nni, ch_new, children)
+            j = jax.random.randint(k3, (), 0, N - 1)
+            m = jnp.exp(bl_lambda * (jax.random.uniform(k4, dtype=dt) - 0.5))
+            bl_p = jnp.where(is_bl, bl.at[j].mul(m), bl)
+            u_p = jnp.where(is_nni | is_bl, u,
+                            u + param_step * jax.random.normal(
+                                k5, u.shape, dtype=dt))
+            log_hr = jnp.where(is_bl, jnp.log(m), 0.0)
+            lp_new = logpost(children_p, bl_p, u_p)
+            ok = (jnp.log(jax.random.uniform(k6, dtype=dt))
+                  < lp_new - logp + log_hr) & jnp.isfinite(lp_new)
+            children = jnp.where(ok, children_p, children)
+            bl = jnp.where(ok, bl_p, bl)
+            u = jnp.where(ok, u_p, u)
+            logp = jnp.where(ok, lp_new, logp)
+            slot = jnp.where(is_nni, 0, jnp.where(is_bl, 1, 2))
+            acc = acc.at[slot, 0].add(ok.astype(dt))
+            acc = acc.at[slot, 1].add(1.0)
+            return (children, bl, u, logp, acc)
+
+        @jax.jit
+        def run_chunk(states, keys):
+            def one_chain(state, keys):
+                def body(st, k):
+                    return kernel(st, k), None
+
+                st, _ = jax.lax.scan(body, state, keys)
+                return st
+
+            return jax.vmap(one_chain)(states, keys)
+
+        key, sub = jax.random.split(key)
+        us = jnp.tile(u0, (n_chains, 1))
+        if init_jitter and dim:
+            us = us + init_jitter * jax.random.normal(sub, us.shape,
+                                                      dtype=dt)
+        chs = jnp.tile(ch0, (n_chains, 1, 1))
+        bls = jnp.tile(bl0, (n_chains, 1))
+        lps = jax.vmap(logpost)(chs, bls, us)
+        states = (chs, bls, us, lps,
+                  jnp.zeros((n_chains, 3, 2), dtype=dt))
+
+        n_samples = max(n_iter // every, 1)
+        burn_chunks = burnin // every
+        out = {"children": [], "bl": [], "u": [], "logp": []}
+        for ci in range(n_samples + burn_chunks):
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, n_chains * every).reshape(
+                n_chains, every, 2)
+            states = run_chunk(states, keys)
+            if ci >= burn_chunks:
+                out["children"].append(np.asarray(states[0]))
+                out["bl"].append(np.asarray(states[1]))
+                out["u"].append(np.asarray(states[2]))
+                out["logp"].append(np.asarray(states[3]))
+        acc = np.asarray(states[4]).sum(0)
+        res = {k: np.stack(v) for k, v in out.items()}
+        res["acceptance"] = {
+            name: float(acc[i, 0] / max(acc[i, 1], 1.0))
+            for i, name in enumerate(("nni", "branch", "params"))}
+        res["space"] = space
+        return res

@@ -74,6 +74,110 @@ def batched_tree_loglik(tip_partials, pmats_batch, children_batch, freqs,
     return jax.vmap(fn)(pmats_batch, children_batch)
 
 
+def postorder_from_children(children, T: int):
+    """Valid internal-node evaluation order [I] for an ARBITRARY children
+    array (no children-before-parents invariant required).
+
+    Device-side NNI edits (``propose_nni_device``) can hang a
+    higher-numbered subtree under a lower-numbered internal node, breaking
+    the id-order postorder the plain scan assumes. Rather than renumbering
+    subtrees (a host-side operation in TreeMCMC), compute every node's
+    DEPTH from the root by pointer doubling on the parent array —
+    ceil(log2 N) vectorized gather rounds, not a depth-of-tree fixed
+    point — and evaluate internals deepest-first (stable argsort):
+    children are strictly deeper than their parents, so every dependency
+    is satisfied by construction. O(N log N) total, negligible next to
+    the O(I * C * S^2 * P) likelihood itself.
+    """
+    I = children.shape[0]
+    N = T + I
+    nodes = T + jnp.arange(I, dtype=jnp.int32)
+    parent = jnp.full(N, N - 1, jnp.int32)
+    parent = parent.at[children[:, 0]].set(nodes)
+    parent = parent.at[children[:, 1]].set(nodes)
+    parent = parent.at[N - 1].set(N - 1)          # root points to itself
+    dist = (jnp.arange(N) != N - 1).astype(jnp.int32)
+    ptr = parent
+    for _ in range(max(1, int(np.ceil(np.log2(max(N, 2)))))):
+        dist = dist + dist[ptr]
+        ptr = ptr[ptr]
+    return jnp.argsort(-dist[T:], stable=True).astype(jnp.int32)
+
+
+def tree_loglik_dynamic_ordered(tip_partials, pmats, children, order, freqs,
+                                props, weights, *, rescale: bool = False):
+    """``tree_loglik_dynamic`` with an explicit evaluation order [I]
+    (from ``postorder_from_children``) instead of the id-order invariant —
+    the evaluator for device-side topology proposals."""
+    T, S, P = tip_partials.shape
+    N, C = pmats.shape[0], pmats.shape[1]
+    I = N - T
+    dtype = tip_partials.dtype
+    buf = jnp.zeros((N, C, S, P), dtype=dtype)
+    buf = buf.at[:T].set(tip_partials[:, None, :, :])
+    scal = jnp.zeros((N, P), dtype=dtype)
+
+    def body(carry, r):
+        buf, scal = carry
+        l = children[r, 0]
+        rt = children[r, 1]
+        res = jnp.einsum("cij,cjp->cip", pmats[l], buf[l]) * jnp.einsum(
+            "cij,cjp->cip", pmats[rt], buf[rt])
+        if rescale:
+            m = jnp.maximum(jnp.max(res, axis=(0, 1)),
+                            jnp.finfo(dtype).tiny)
+            res = res / m[None, None, :]
+            scal = scal.at[T + r].set(scal[l] + scal[rt] + jnp.log(m))
+        buf = buf.at[T + r].set(res)
+        return (buf, scal), None
+
+    (buf, scal), _ = jax.lax.scan(body, (buf, scal), order)
+    root = N - 1
+    site_l = jnp.einsum("s,csp->cp", freqs, buf[root])
+    site_lik = jnp.einsum("c,cp->p", props, site_l)
+    site_log = jnp.log(site_lik)
+    if rescale:
+        site_log = site_log + scal[root]
+    return jnp.sum(weights * site_log), site_log
+
+
+def propose_nni_device(key, children, T: int):
+    """One uniform rooted-NNI move as pure index edits (device data).
+
+    Picks an internal non-root node c and one of its children a, then
+    swaps a with c's sibling s (the reference's NNI operator,
+    src/phyc/operator.c:419-626, re-expressed as two row edits on the
+    children array). Uniform over (c, child-side) pairs, whose count is
+    the same for every binary topology on T taxa -> symmetric proposal,
+    log q ratio = 0. Branches travel with their subtree roots (node ids
+    are untouched), matching standard NNI branch semantics. The edited
+    array may violate children-before-parents id order — evaluate with
+    ``postorder_from_children`` + ``tree_loglik_dynamic_ordered``.
+    """
+    I = children.shape[0]
+    N = T + I
+    k1, k2 = jax.random.split(key)
+    nodes = T + jnp.arange(I, dtype=jnp.int32)
+    parent = jnp.zeros(N, jnp.int32)
+    parent = parent.at[children[:, 0]].set(nodes)
+    parent = parent.at[children[:, 1]].set(nodes)
+
+    c = jax.random.randint(k1, (), T, N - 1, dtype=jnp.int32)
+    p = parent[c]
+    rc = c - T
+    rp = p - T
+    s = jnp.where(children[rp, 0] == c, children[rp, 1], children[rp, 0])
+    side = jax.random.bernoulli(k2)
+    a = jnp.where(side, children[rc, 1], children[rc, 0])
+    # c's row: a -> s; p's row: s -> a
+    c_row = jnp.where(side,
+                      jnp.stack([children[rc, 0], s]),
+                      jnp.stack([s, children[rc, 1]]))
+    out = children.at[rc].set(c_row)
+    p_row = jnp.where(children[rp] == s, a, children[rp])
+    return out.at[rp].set(p_row)
+
+
 def fitch_score_dynamic(tip_sets, children, weights):
     """Parsimony with runtime topology (for SPR prescreening, reference:
     src/phyc/spropt.c parsimony prescreen)."""

@@ -146,3 +146,95 @@ class TestMixedMCMC:
             local[np.concatenate([[0], active])[cmap]],
             float(params["rate"]))
         np.testing.assert_allclose(eff, expected, rtol=1e-12)
+
+
+def _splits_from_children(children, taxa):
+    """Clade taxa-sets from a (possibly id-order-violating) children
+    array, resolved by fixed-point — the host mirror of
+    postorder_from_children."""
+    T, I = len(taxa), len(children)
+    sets = [frozenset([taxa[t]]) for t in range(T)] + [None] * I
+    remaining = set(range(I))
+    while remaining:
+        progressed = False
+        for r in list(remaining):
+            l, rt = int(children[r][0]), int(children[r][1])
+            if sets[l] is not None and sets[rt] is not None:
+                sets[T + r] = sets[l] | sets[rt]
+                remaining.discard(r)
+                progressed = True
+        assert progressed, "cyclic children array"
+    return sets
+
+
+class TestBatchedTreeMCMC:
+    """Device-side topology moves: NNI as index edits inside a
+    vmapped-chain jitted scan (ops/dynamic_pruning.propose_nni_device +
+    postorder_from_children), replacing per-proposal host tree surgery.
+    Reference: src/phyc/operator.c NNI inside the mcmc.c loop."""
+
+    def test_device_nni_preserves_tree_validity(self):
+        import jax.numpy as jnp
+
+        from physher_tpu.ops.dynamic_pruning import (
+            postorder_from_children, propose_nni_device)
+
+        tlk = _tiny_tlk()
+        topo = tlk.topo
+        ch = jnp.asarray(topo.children[:, :2], jnp.int32)
+        taxa = list(topo.taxa)
+        key = jax.random.PRNGKey(0)
+        for i in range(25):
+            key, sub = jax.random.split(key)
+            ch = propose_nni_device(sub, ch, topo.T)
+            chn = np.asarray(ch)
+            # every non-root node appears exactly once as a child
+            flat = sorted(chn.ravel().tolist())
+            assert flat == list(range(topo.N - 1))
+            # root clade covers all taxa (resolvable = acyclic)
+            sets = _splits_from_children(chn, taxa)
+            assert sets[-1] == frozenset(taxa)
+            # the device evaluation order is consistent with dependencies
+            order = np.asarray(postorder_from_children(ch, topo.T))
+            pos = {topo.T + int(r): i for i, r in enumerate(order)}
+            for i2, r in enumerate(order):
+                for c in chn[int(r)]:
+                    if int(c) >= topo.T:
+                        assert pos[int(c)] < i2
+
+    def test_recovers_true_topology_batched_chains(self):
+        rng = np.random.default_rng(0)
+        L = 400
+        anc = rng.integers(0, 4, L)
+        other = (anc + 1 + rng.integers(0, 3, L)) % 4
+        alpha = "ACGT"
+        seqs = {
+            "A": "".join(alpha[i] for i in anc),
+            "B": "".join(alpha[i] for i in anc),
+            "C": "".join(alpha[i] for i in other),
+            "D": "".join(alpha[i] for i in other),
+        }
+        sp = SitePattern.from_alignment(seqs)
+        topo, _ = read_newick("((A:0.1,C:0.1):0.1,(B:0.1,D:0.1):0.1);")
+        tlk = TreeLikelihood(sp, topo, JC69(),
+                             distances_init=np.full(topo.N - 1, 0.1))
+        from physher_tpu.inference.treemcmc import BatchedTreeMCMC
+
+        tm = BatchedTreeMCMC(tlk, p_nni=0.4)
+        res = tm.run(jax.random.PRNGKey(1), n_iter=1500, every=50,
+                     n_chains=8, burnin=500)
+        assert 0.0 < res["acceptance"]["nni"] < 1.0
+        assert 0.0 < res["acceptance"]["branch"] < 1.0
+        assert np.all(np.isfinite(res["logp"]))
+        taxa = list(topo.taxa)
+        hits = total = 0
+        S, B = res["children"].shape[:2]
+        for si in range(S):
+            for b in range(B):
+                sets = set(_splits_from_children(
+                    res["children"][si, b], taxa)[topo.T:])
+                total += 1
+                if frozenset({"A", "B"}) in sets or \
+                   frozenset({"C", "D"}) in sets:
+                    hits += 1
+        assert hits / total > 0.9, hits / total
