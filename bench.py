@@ -431,9 +431,12 @@ def bench_mcmc(extras):
     key = jax.random.PRNGKey(1)
 
     best = 0.0
-    for n_chains, n_iter in ((64, 512), (512, 512), (4096, 256),
+    # ONE sampler instance: compiled chunk kernels cache on the instance
+    # (per shape), so the sweep and repeats measure sampling, not XLA
+    # recompilation (the r4 numbers were mostly compile time)
+    mcmc = MCMC(space, tlk.log_likelihood)
+    for n_chains, n_iter in ((1, 2048), (64, 512), (512, 512), (4096, 256),
                              (16384, 256)):
-        mcmc = MCMC(space, tlk.log_likelihood)
 
         def run(seed):
             # distinct seed per run: identical invocations can be served
@@ -464,7 +467,6 @@ def bench_mcmc(extras):
     from physher_tpu.utils.stats import effective_sample_size, split_r_hat
 
     n_chains, n_iter, every, burn = 512, 4096, 16, 1024
-    mcmc = MCMC(space, tlk.log_likelihood)
     mcmc.run(jax.random.PRNGKey(0), params, n_iter=256, every=16,
              n_chains=n_chains, burnin=64)  # compile both chunk shapes
     t0 = time.perf_counter()

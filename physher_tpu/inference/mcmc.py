@@ -72,6 +72,7 @@ class HMC:
         self.log_prob = log_prob
         self.L = n_leapfrog
         self._dim = space.unconstrained_size
+        self._run_chunk = None  # compiled once (see MCMC._compiled_chunk)
 
     def _target(self, z):
         uparams = self.space.unflatten_unconstrained(z)
@@ -89,7 +90,7 @@ class HMC:
                                            dtype=u0.dtype)
         val_grad = jax.value_and_grad(self._target)
 
-        def kernel(state, key, eps):
+        def _kernel(state, key, eps):
             u, logp, glogp = state
             k1, k2 = jax.random.split(key)
             p0 = jax.random.normal(k1, u.shape, dtype=u.dtype)
@@ -112,17 +113,22 @@ class HMC:
             return (jnp.where(ok, q, u), jnp.where(ok, new_logp, logp),
                     jnp.where(ok, new_g, glogp)), ok
 
-        @jax.jit
-        def run_chunk(states, keys, eps):
-            def one_chain(state, keys):
-                def body(st, k):
-                    st, ok = kernel(st, k, eps)
-                    return st, ok
-                st, oks = jax.lax.scan(body, state, keys)
-                return st, jnp.mean(oks.astype(jnp.float32))
-            return jax.vmap(one_chain)(states, keys)
+        if self._run_chunk is None:
+            @jax.jit
+            def run_chunk(states, keys, eps):
+                def one_chain(state, keys):
+                    def body(st, k):
+                        st, ok = _kernel(st, k, eps)
+                        return st, ok
+                    st, oks = jax.lax.scan(body, state, keys)
+                    return st, jnp.mean(oks.astype(jnp.float32))
+                return jax.vmap(one_chain)(states, keys)
 
-        lp0, g0 = jax.vmap(val_grad)(us)
+            self._run_chunk = run_chunk
+            self._init_eval = jax.jit(jax.vmap(val_grad))
+        run_chunk = self._run_chunk
+
+        lp0, g0 = self._init_eval(us)
         states = (us, lp0, g0)
         n_samples = n_iter // every
         burn_chunks = burnin // every
@@ -216,6 +222,12 @@ class MCMC:
             self.blocks.append("<vb>")
         self.masks = jnp.asarray(np.stack(masks))
         self.weights = jnp.asarray(np.asarray(w) / np.sum(w))
+        # compiled sampler functions, built once per instance: defining
+        # them inside run() recompiled the MH scan on EVERY call (~2 s on
+        # fluA — r4's benched "throughput" was mostly XLA compile time;
+        # the traced device cost is ~43 us/proposal single-chain)
+        self._run_chunk = None
+        self._init_eval = None
 
     # -- targets -----------------------------------------------------------
 
@@ -237,6 +249,59 @@ class MCMC:
         return lp + jac, lp
 
     # -- sampling ----------------------------------------------------------
+
+    def _compiled_chunk(self):
+        """Build (once) the jitted chunk kernel; jit caches per input
+        shape, so repeat runs and chain-count sweeps reuse executables."""
+        if self._run_chunk is not None:
+            return self._run_chunk
+
+        masks = self.masks
+        weights = self.weights
+        vb = self.vb_proposal
+        n_blocks = len(self.blocks)
+
+        def kernel(state, key, sigmas, temp):
+            u, logp, ll, acc, tries = state
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            b = jax.random.choice(k1, n_blocks, p=weights)
+            eps = jax.random.normal(k2, u.shape, dtype=u.dtype)
+            u_new = u + sigmas[b] * masks.astype(u.dtype)[b] * eps
+            log_hr = jnp.zeros((), u.dtype)
+            if vb is not None:
+                sample_fn, logq_fn = vb
+                u_vb = sample_fn(k4).astype(u.dtype)
+                is_vb = b == n_blocks - 1
+                u_new = jnp.where(is_vb, u_vb, u_new)
+                # Hastings ratio for an independence proposal:
+                # q(current)/q(proposed)
+                log_hr = jnp.where(is_vb, logq_fn(u) - logq_fn(u_vb), 0.0)
+            logp_new, ll_new = self._split_target(u_new, temp)
+            log_alpha = logp_new - logp + log_hr
+            accept = jnp.log(jax.random.uniform(k3, dtype=u.dtype)) < log_alpha
+            accept = accept & jnp.isfinite(logp_new)
+            u = jnp.where(accept, u_new, u)
+            logp = jnp.where(accept, logp_new, logp)
+            ll = jnp.where(accept, ll_new, ll)
+            acc = acc.at[b].add(accept.astype(u.dtype))
+            tries = tries.at[b].add(1.0)
+            return (u, logp, ll, acc, tries)
+
+        @jax.jit
+        def run_chunk(states, keys, sigmas, temps):
+            def one_chain(state, keys, temp):
+                def body(state, key):
+                    return kernel(state, key, sigmas, temp), None
+
+                state, _ = jax.lax.scan(body, state, keys)
+                return state
+
+            return jax.vmap(one_chain)(states, keys, temps)
+
+        self._run_chunk = run_chunk
+        self._init_eval = jax.jit(
+            jax.vmap(lambda u, t: self._split_target(u, t)))
+        return run_chunk
 
     def run(self, key, params: dict, *, n_iter: int = 10000, every: int = 10,
             n_chains: int = 1, temperatures=None, adapt: bool = True,
@@ -274,50 +339,10 @@ class MCMC:
                 temps, NamedSharding(mesh, PartitionSpec(chain_axis)))
         sigmas = jnp.full(len(self.blocks), init_step, dtype=u0.dtype)
 
-        masks = self.masks.astype(u0.dtype)
-        weights = self.weights
-
-        vb = self.vb_proposal
-
-        def kernel(state, key, sigmas, temp):
-            u, logp, ll, acc, tries = state
-            k1, k2, k3, k4 = jax.random.split(key, 4)
-            b = jax.random.choice(k1, len(self.blocks), p=weights)
-            eps = jax.random.normal(k2, u.shape, dtype=u.dtype)
-            u_new = u + sigmas[b] * masks[b] * eps
-            log_hr = jnp.zeros((), u.dtype)
-            if vb is not None:
-                sample_fn, logq_fn = vb
-                u_vb = sample_fn(k4).astype(u.dtype)
-                is_vb = b == len(self.blocks) - 1
-                u_new = jnp.where(is_vb, u_vb, u_new)
-                # Hastings ratio for an independence proposal:
-                # q(current)/q(proposed)
-                log_hr = jnp.where(is_vb, logq_fn(u) - logq_fn(u_vb), 0.0)
-            logp_new, ll_new = self._split_target(u_new, temp)
-            log_alpha = logp_new - logp + log_hr
-            accept = jnp.log(jax.random.uniform(k3, dtype=u.dtype)) < log_alpha
-            accept = accept & jnp.isfinite(logp_new)
-            u = jnp.where(accept, u_new, u)
-            logp = jnp.where(accept, logp_new, logp)
-            ll = jnp.where(accept, ll_new, ll)
-            acc = acc.at[b].add(accept.astype(u.dtype))
-            tries = tries.at[b].add(1.0)
-            return (u, logp, ll, acc, tries)
-
-        @jax.jit
-        def run_chunk(states, keys, sigmas, temps):
-            def one_chain(state, keys, temp):
-                def body(state, key):
-                    return kernel(state, key, sigmas, temp), None
-
-                state, _ = jax.lax.scan(body, state, keys)
-                return state
-
-            return jax.vmap(one_chain)(states, keys, temps)
+        run_chunk = self._compiled_chunk()
 
         # initial state
-        init_lp = jax.vmap(lambda u, t: self._split_target(u, t))(us, temps)
+        init_lp = self._init_eval(us, temps)
         states = (us, init_lp[0], init_lp[1],
                   jnp.zeros((n_chains, len(self.blocks)), dtype=u0.dtype),
                   jnp.zeros((n_chains, len(self.blocks)), dtype=u0.dtype))

@@ -295,6 +295,9 @@ class BatchedTreeMCMC:
         # with no free parameters the walk slot folds into the scaler
         self.p_bl = float(p_bl) if self.dim else 1.0 - float(p_nni)
         self._logpost = self._make_logpost()
+        # compiled once per instance (jit caches per shape) — defining the
+        # jitted chunk inside run() would recompile every call
+        self._chunk_cache = {}
 
     def _make_logpost(self):
         from ..ops.dynamic_pruning import (
@@ -347,44 +350,49 @@ class BatchedTreeMCMC:
             jnp.zeros(1, dt)])
         p_nni, p_bl, dim = self.p_nni, self.p_bl, self.dim
         logpost = self._logpost
+        ck = (float(bl_lambda), float(param_step))
+        if ck not in self._chunk_cache:
+            def kernel(state, key):
+                children, bl, u, logp, acc = state
+                k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+                mv = jax.random.uniform(k1)
+                is_nni = mv < p_nni
+                is_bl = (mv >= p_nni) & (mv < p_nni + p_bl)
+                ch_new = propose_nni_device(k2, children, T)
+                children_p = jnp.where(is_nni, ch_new, children)
+                j = jax.random.randint(k3, (), 0, N - 1)
+                m = jnp.exp(bl_lambda
+                            * (jax.random.uniform(k4, dtype=dt) - 0.5))
+                bl_p = jnp.where(is_bl, bl.at[j].mul(m), bl)
+                u_p = jnp.where(is_nni | is_bl, u,
+                                u + param_step * jax.random.normal(
+                                    k5, u.shape, dtype=dt))
+                log_hr = jnp.where(is_bl, jnp.log(m), 0.0)
+                lp_new = logpost(children_p, bl_p, u_p)
+                ok = (jnp.log(jax.random.uniform(k6, dtype=dt))
+                      < lp_new - logp + log_hr) & jnp.isfinite(lp_new)
+                children = jnp.where(ok, children_p, children)
+                bl = jnp.where(ok, bl_p, bl)
+                u = jnp.where(ok, u_p, u)
+                logp = jnp.where(ok, lp_new, logp)
+                slot = jnp.where(is_nni, 0, jnp.where(is_bl, 1, 2))
+                acc = acc.at[slot, 0].add(ok.astype(dt))
+                acc = acc.at[slot, 1].add(1.0)
+                return (children, bl, u, logp, acc)
 
-        def kernel(state, key):
-            children, bl, u, logp, acc = state
-            k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
-            mv = jax.random.uniform(k1)
-            is_nni = mv < p_nni
-            is_bl = (mv >= p_nni) & (mv < p_nni + p_bl)
-            ch_new = propose_nni_device(k2, children, T)
-            children_p = jnp.where(is_nni, ch_new, children)
-            j = jax.random.randint(k3, (), 0, N - 1)
-            m = jnp.exp(bl_lambda * (jax.random.uniform(k4, dtype=dt) - 0.5))
-            bl_p = jnp.where(is_bl, bl.at[j].mul(m), bl)
-            u_p = jnp.where(is_nni | is_bl, u,
-                            u + param_step * jax.random.normal(
-                                k5, u.shape, dtype=dt))
-            log_hr = jnp.where(is_bl, jnp.log(m), 0.0)
-            lp_new = logpost(children_p, bl_p, u_p)
-            ok = (jnp.log(jax.random.uniform(k6, dtype=dt))
-                  < lp_new - logp + log_hr) & jnp.isfinite(lp_new)
-            children = jnp.where(ok, children_p, children)
-            bl = jnp.where(ok, bl_p, bl)
-            u = jnp.where(ok, u_p, u)
-            logp = jnp.where(ok, lp_new, logp)
-            slot = jnp.where(is_nni, 0, jnp.where(is_bl, 1, 2))
-            acc = acc.at[slot, 0].add(ok.astype(dt))
-            acc = acc.at[slot, 1].add(1.0)
-            return (children, bl, u, logp, acc)
+            @jax.jit
+            def run_chunk(states, keys):
+                def one_chain(state, keys):
+                    def body(st, k):
+                        return kernel(st, k), None
 
-        @jax.jit
-        def run_chunk(states, keys):
-            def one_chain(state, keys):
-                def body(st, k):
-                    return kernel(st, k), None
+                    st, _ = jax.lax.scan(body, state, keys)
+                    return st
 
-                st, _ = jax.lax.scan(body, state, keys)
-                return st
+                return jax.vmap(one_chain)(states, keys)
 
-            return jax.vmap(one_chain)(states, keys)
+            self._chunk_cache[ck] = (run_chunk, jax.jit(jax.vmap(logpost)))
+        run_chunk, init_eval = self._chunk_cache[ck]
 
         key, sub = jax.random.split(key)
         us = jnp.tile(u0, (n_chains, 1))
@@ -393,7 +401,7 @@ class BatchedTreeMCMC:
                                                       dtype=dt)
         chs = jnp.tile(ch0, (n_chains, 1, 1))
         bls = jnp.tile(bl0, (n_chains, 1))
-        lps = jax.vmap(logpost)(chs, bls, us)
+        lps = init_eval(chs, bls, us)
         states = (chs, bls, us, lps,
                   jnp.zeros((n_chains, 3, 2), dtype=dt))
 
