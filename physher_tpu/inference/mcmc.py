@@ -341,8 +341,21 @@ class MCMC:
 
         run_chunk = self._compiled_chunk()
 
+        # large chain batches route any TreeLikelihood in the target to
+        # the level-array XLA engine: the trace-time batch probe cannot
+        # see through a scan body (see treelikelihood._vmap_batch_size),
+        # and the driver knows n_chains. Measured on v5e (fluA): XLA 92k
+        # evals/s at 4096 chains vs fused Pallas 36k. Deterministic in
+        # n_chains, so the jit cache (keyed on shapes) stays consistent.
+        from ..models.treelikelihood import engine_override
+        import contextlib
+
+        eng_ctx = (engine_override("xla") if n_chains >= 256
+                   else contextlib.nullcontext())
+
         # initial state
-        init_lp = self._init_eval(us, temps)
+        with eng_ctx:
+            init_lp = self._init_eval(us, temps)
         states = (us, init_lp[0], init_lp[1],
                   jnp.zeros((n_chains, len(self.blocks)), dtype=u0.dtype),
                   jnp.zeros((n_chains, len(self.blocks)), dtype=u0.dtype))
@@ -367,7 +380,8 @@ class MCMC:
                 key, sub = jax.random.split(key)
                 keys = jax.random.split(sub, n_chains * every).reshape(
                     n_chains, every, 2)
-                states = run_chunk(states, keys, sigmas_np, temps)
+                with eng_ctx:
+                    states = run_chunk(states, keys, sigmas_np, temps)
                 if ci >= burn_chunks:
                     samples[si] = np.asarray(states[0])
                     lps[si] = np.asarray(states[1])

@@ -43,7 +43,14 @@ def _vmap_batch_size(x):
     B=512, 92k at 4096, 134k at 16384 vs fused Pallas 15.0k / 36k /
     compile-failure — past a few hundred chains the level-array path
     wins, and batch size is the only signal that distinguishes the two
-    regimes."""
+    regimes.
+
+    LIMITATION: inside a ``lax.scan`` body there are never BatchTracers —
+    scan traces its body abstractly once and applies batching at the
+    jaxpr level — so vmapped SAMPLERS (vmap of a scan kernel) are
+    invisible to this probe. Drivers that know their chain count apply
+    ``engine_override("xla")`` around tracing instead (inference/mcmc.py,
+    inference/marginal.py)."""
     try:
         from jax.interpreters.batching import BatchTracer
     except ImportError:  # jax>=0.9 moved it under _src
