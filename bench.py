@@ -435,7 +435,7 @@ def bench_mcmc(extras):
     # (per shape), so the sweep and repeats measure sampling, not XLA
     # recompilation (the r4 numbers were mostly compile time)
     mcmc = MCMC(space, tlk.log_likelihood)
-    for n_chains, n_iter in ((1, 2048), (64, 512), (512, 512), (4096, 256),
+    for n_chains, n_iter in ((1, 8192), (64, 512), (512, 512), (4096, 256),
                              (8192, 256)):
 
         def run(seed):
