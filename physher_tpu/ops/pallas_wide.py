@@ -128,7 +128,7 @@ def build_stage0(tips, pn, C, dtype):
 
 def _fwd_kernel(C, S, B, G, maxc, n_steps,
                 nodecons_ref,
-                stage_in, valid_ref, blockP_ref, rootw_ref,
+                stage_in, blockP_ref, rootw_ref,
                 stage, minv_ref, site_ref,
                 in_buf, obuf, rbuf, sbuf, scal_acc, sems):
     from jax.experimental import pallas as pl
@@ -151,6 +151,13 @@ def _fwd_kernel(C, S, B, G, maxc, n_steps,
     def _init():
         scal_acc[t] = jnp.zeros((1, TILE), f32)
 
+    # no validity masking on the slabs: the prestaged buffer is zero
+    # everywhere never written (build_stage0), so a dummy node position's
+    # slots read zeros, its product is zero and its rescale max clamps to
+    # tiny; only the log-max accumulator needs the real-node flag
+    # (nodecons[.., 2]) to keep log(tiny) out of the site scalers. Real
+    # nodes are binary-complete (maxc == 2 gate), so their slots are
+    # always live.
     writes = []
     logm_sum = None
     for g in range(BG):
@@ -161,8 +168,6 @@ def _fwd_kernel(C, S, B, G, maxc, n_steps,
             contrib = jnp.dot(blockP_ref[0, j, g], stacked,
                               preferred_element_type=f32,
                               precision=_MXU_PRECISION)
-            v = valid_ref[0, 0][:, None][rows:rows + Rg]    # [Rg, 1]
-            contrib = contrib * v + (1.0 - v)
             res = contrib if res is None else res * contrib
         for bg in range(G):
             b = g * G + bg
@@ -170,7 +175,8 @@ def _fwd_kernel(C, S, B, G, maxc, n_steps,
             m = jnp.max(rb, axis=0, keepdims=True)
             m = jnp.maximum(m, jnp.finfo(f32).tiny)
             obuf[b] = rb / m
-            lm = jnp.log(m)
+            real = nodecons_ref[s, b, 2].astype(f32)
+            lm = jnp.log(m) * real
             logm_sum = lm if logm_sum is None else logm_sum + lm
             minv_ref[0, b] = (1.0 / m)[0]
             ps = nodecons_ref[s, b, 0]
@@ -222,12 +228,21 @@ def build_wide_forward(topo: Topology, C: int, S: int, P: int, *,
 
     kernel = partial(_fwd_kernel, C, S, B, G, maxc, n_steps)
 
+    # nodecons + per-(step, b) real-node flag (replaces the former dense
+    # [n_steps, R] validity plane, whose SMEM prefetch footprint broke
+    # 2048-taxa compiles)
+    ncw = np.concatenate(
+        [pn["nodecons"],
+         np.zeros((n_steps, pn["nodecons"].shape[1], 1), np.int32)],
+        axis=2)
+    for k in range(topo.I):
+        ncw[sched["node_step"][k], sched["node_pos"][k], 2] = 1
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,            # nodecons
+        num_scalar_prefetch=1,            # nodecons (+ real flag)
         grid=(n_steps, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                   # stage_in
-            pl.BlockSpec((1, 1, R), lambda s, t, *_: (s, 0, 0)),  # valid
             pl.BlockSpec((1, maxc, BG, Rg, Rg),
                          lambda s, t, *_: (s, 0, 0, 0, 0)),       # blockP
             pl.BlockSpec((1, CS), lambda s, t, *_: (0, 0)),       # rootw
@@ -263,10 +278,7 @@ def build_wide_forward(topo: Topology, C: int, S: int, P: int, *,
 
     def fn(tips, blockP, rootw):
         stage0 = build_stage0(tips, pn, C, tips.dtype)
-        stage, minv, site = call(
-            jnp.asarray(pn["nodecons"]),
-            stage0, jnp.asarray(pn["validf"][:, None, :], dtype),
-            blockP, rootw)
+        stage, minv, site = call(jnp.asarray(ncw), stage0, blockP, rootw)
         return site[0], stage, minv
 
     return fn, sched
@@ -279,7 +291,7 @@ def build_wide_forward(topo: Topology, C: int, S: int, P: int, *,
 
 def _bwd_kernel(C, S, B, G, maxc, n_steps, n_tiles,
                 nodecons_ref,
-                stage_ref, root_stage_ref, valid_ref, blockP_ref,
+                stage_ref, root_stage_ref, blockP_ref,
                 minv_ref, rootw_ref, g_ref,
                 dblockP_ref, drootw_ref, gbuf,
                 gin, gout, rbuf, zbuf, sems):
@@ -343,19 +355,20 @@ def _bwd_kernel(C, S, B, G, maxc, n_steps, n_tiles,
         g_rows = [gin[g * G + bg] * minv_ref[0, g * G + bg][None, :]
                   for bg in range(G)]
         g_g = jnp.concatenate(g_rows, axis=0)              # [Rg, TILE]
-        contribs, stacks, vs = [], [], []
+        # no validity masking: dummy positions' cotangents read the zeroed
+        # gbuf scratch row, so their rows of g_g are zero and every dummy
+        # contribution to dblockP / gbuf vanishes (see _fwd_kernel note)
+        contribs, stacks = [], []
         for j in range(maxc):
             rows = j * Rb + g * Rg
             stacked = stage_ref[0, pl.ds(rows, Rg)]        # [Rg, TILE]
             contrib = jnp.dot(blockP_ref[0, j, g], stacked,
                               preferred_element_type=f32,
                               precision=_MXU_PRECISION)
-            v = valid_ref[0, 0][:, None][rows:rows + Rg]
-            contribs.append(contrib * v + (1.0 - v))
+            contribs.append(contrib)
             stacks.append(stacked)
-            vs.append(v)
         for i in range(maxc):
-            other = g_g * vs[i]
+            other = g_g
             for j in range(maxc):
                 if j != i:
                     other = other * contribs[j]            # [Rg, TILE]
@@ -400,8 +413,6 @@ def build_wide_backward(topo: Topology, C: int, S: int, P: int, *,
             pl.BlockSpec((1, R, TILE),
                          lambda sr, t, *_: (n_steps - 1 - sr, 0, t)),
             pl.BlockSpec((1, R, TILE), lambda sr, t, *_: (n_steps, 0, t)),
-            pl.BlockSpec((1, 1, R),
-                         lambda sr, t, *_: (n_steps - 1 - sr, 0, 0)),
             pl.BlockSpec((1, maxc, BG, Rg, Rg),
                          lambda sr, t, *_: (n_steps - 1 - sr, 0, 0, 0, 0)),
             pl.BlockSpec((1, B, TILE),
@@ -440,8 +451,6 @@ def build_wide_backward(topo: Topology, C: int, S: int, P: int, *,
     def fn(stage, minv, blockP, rootw, g):
         dblockP, drootw, _ = call(jnp.asarray(pn["nodecons"]),
                                   stage, stage,
-                                  jnp.asarray(pn["validf"][:, None, :],
-                                              dtype),
                                   blockP, minv, rootw, g.reshape(1, P))
         return dblockP, drootw[0]
 
@@ -499,6 +508,10 @@ def wide_site_log(tip_partials, pmats, topo: Topology, freqs, props, *,
     zero states — exact (see module docstring)."""
     T, S, P = tip_partials.shape
     C = pmats.shape[1]
+    if int(topo.child_count.max()) != 2:
+        raise ValueError("pallas-wide requires a binary topology (the "
+                         "no-mask dataflow assumes every real node has "
+                         "exactly 2 children)")
     if S % 8:
         Sp = -(-S // 8) * 8
         pmats = jnp.pad(pmats, ((0, 0), (0, 0), (0, Sp - S), (0, Sp - S)))
