@@ -107,16 +107,21 @@ def build_group_pmats(pmats, sched, C, S, B, G, dtype=None):
 
 def build_stage0(tips, pn, C, dtype):
     """Initial HBM stage buffer: zeros with category-broadcast tip slabs
-    scattered to their consumer slots (one XLA gather-scatter)."""
+    scattered to their consumer slots.
+
+    The scatter operates on whole [CS, P] slot blocks with T int32
+    indices — a per-ROW index formulation (T*CS indices) compiled its
+    index operand into ~0.5 MB of SMEM and broke 2048-taxa compiles
+    (SMEM is 1 MB total)."""
     T, S, P = tips.shape
     CS = C * S
     R = pn["R"]
-    n_rows = (pn["n_steps"] + 1) * R
-    texp = jnp.broadcast_to(tips[:, None], (T, C, S, P)).reshape(T * CS, P)
-    rows = (pn["tipcons"][:, 0].astype(np.int64) * R
-            + pn["tipcons"][:, 1].astype(np.int64))
-    idx = (rows[:, None] + np.arange(CS)[None, :]).reshape(-1)
-    stage = jnp.zeros((n_rows, P), dtype)
+    slots_per_step = R // CS
+    n_slots = (pn["n_steps"] + 1) * slots_per_step
+    texp = jnp.broadcast_to(tips[:, None], (T, C, S, P)).reshape(T, CS, P)
+    idx = (pn["tipcons"][:, 0].astype(np.int32) * slots_per_step
+           + pn["tipcons"][:, 1].astype(np.int32) // CS)
+    stage = jnp.zeros((n_slots, CS, P), dtype)
     stage = stage.at[jnp.asarray(idx)].set(texp.astype(dtype))
     return stage.reshape(pn["n_steps"] + 1, R, P)
 
