@@ -384,7 +384,13 @@ class TreeLikelihood:
         C = len(self.site_model.rates_props(
             self.site_model.param_space().init_params())[1])
         S = self.tip_partials.shape[1]
-        if not (S == 4 or S >= 16):  # 4=nucleotide packed; >=16 csplit
+        # auto only for the packed nucleotide mode. The csplit mode
+        # (S>=16) works and is opt-in via engine="pallas-fused", but the
+        # sustained perturbed-scan protocol measured the level-array XLA
+        # path faster on every large-S value+grad workload (v5e: WAG 64
+        # taxa x 8192: 9.1 vs 13.6 ms; codon 32 x 4096: 2.21 vs 2.71 ms
+        # — the csplit backward re-walk costs 3.4x its forward)
+        if S != 4:
             return False
         return fused_plan(self.topo, C, S, self._shard_P()) is not None
 
