@@ -310,8 +310,8 @@ def bench_wag(extras):
                          pattern_pad_multiple=128, dtype=jnp.float32)
     params = tlk.param_space().init_params(dtype=jnp.float32)
     vg_raw = jax.value_and_grad(tlk.log_likelihood)
-    dt = sustained(vg_raw, params, n=16)
-    dt_f = sustained(tlk.log_likelihood, params, n=16)
+    dt = sustained(vg_raw, params, n=32)
+    dt_f = sustained(tlk.log_likelihood, params, n=32)
     extras["wag_g4_value_grad_patterns_per_s"] = round(n_patterns / dt, 1)
     extras["wag_g4_value_grad_vs_ref_cpu"] = round(
         n_patterns / dt / REF["wag_value_grad"], 2)
@@ -343,9 +343,9 @@ def bench_codon(extras):
     tlk = TreeLikelihood(sp, topo, GY94(fixed_freqs=True), rescale=True,
                          pattern_pad_multiple=128, dtype=jnp.float32)
     params = tlk.param_space().init_params(dtype=jnp.float32)
-    dt_f = sustained(tlk.log_likelihood, params, n=16)
+    dt_f = sustained(tlk.log_likelihood, params, n=64)
     vg_raw = jax.value_and_grad(tlk.log_likelihood)
-    dt = sustained(vg_raw, params, n=16)
+    dt = sustained(vg_raw, params, n=64)
     extras["codon_m0_forward_patterns_per_s"] = round(n_patterns / dt_f, 1)
     extras["codon_m0_forward_vs_ref_cpu"] = round(
         n_patterns / dt_f / REF["codon_forward"], 2)
