@@ -107,6 +107,8 @@ def simulate_alignment(key, topo: Topology, subst, site_model, params,
     if dt is None:
         dt = get_datatype("nucleotide" if S == 4 else
                           ("aa" if S == 20 else "codon"))
+    elif isinstance(dt, str):
+        dt = get_datatype(dt)
     for t in range(topo.T):
         out[topo.taxa[t]] = "".join(dt.symbol(int(s)) for s in states[t])
     return out

@@ -198,3 +198,42 @@ def test_codon_reference_goldens(data_dir):
     p2[mg.key("kappa")] = jnp.asarray(2.0)
     np.testing.assert_allclose(float(tlk2.log_likelihood(p2)), mg_logp,
                                rtol=5e-9, atol=1e-7)
+
+
+def test_codon_m0_ml_recovers_omega():
+    """BASELINE workload #3: codon (M0-style) likelihood + ML
+    optimization. Simulate under GY94 (kappa=2, omega=0.2) via the
+    simultron path (reference: src/phyc/physim.c) and recover the
+    selection parameters by full-gradient Adam (the TPU replacement for
+    the reference's serial-Brent codon optimization,
+    treelikelihoodCodon.c + optimizer.c)."""
+    import jax
+    import jax.numpy as jnp
+
+    from physher_tpu.inference import ml
+    from physher_tpu.likelihood.analysis import simulate_alignment
+    from physher_tpu.models.codon import GY94
+    from physher_tpu.models.sitemodel import ConstantSiteModel
+    from physher_tpu.models.treelikelihood import TreeLikelihood
+    from physher_tpu.utils.synthetic import balanced_topology
+
+    topo = balanced_topology(8)
+    subst = GY94(fixed_freqs=True)
+    sim_params = {
+        s.name: jnp.asarray({"kappa": 2.0, "omega": 0.2}.get(
+            s.name.split(".")[-1], s.init))
+        for s in subst.param_specs()}
+    bl = np.full(topo.N, 0.3)
+    bl[topo.root] = 0.0
+    seqs = simulate_alignment(jax.random.PRNGKey(0), topo, subst,
+                              ConstantSiteModel(), sim_params, bl, 1200,
+                              datatype="codon")
+    sp = SitePattern.from_alignment(seqs, datatype="codon")
+    tlk = TreeLikelihood(sp, topo, GY94(fixed_freqs=True),
+                         distances_init=np.full(topo.N - 1, 0.3))
+    space = tlk.param_space()
+    res = ml.optimize(tlk.log_likelihood, space, space.init_params(),
+                      method="adam", max_iter=600, learning_rate=0.05)
+    assert np.isfinite(res.logp)
+    assert abs(float(res.params["omega"]) - 0.2) < 0.05
+    assert abs(float(res.params["kappa"]) - 2.0) < 0.5
