@@ -523,17 +523,24 @@ def bench_treemcmc(extras):
     tlk = TreeLikelihood(sp, topo, JC69(), distances_init=dist[: topo.N - 1],
                          dtype=jnp.float32)
     tm = BatchedTreeMCMC(tlk)
-    for n_chains, n_iter in ((64, 256), (512, 128)):
-        tm.run(jax.random.PRNGKey(0), n_iter=n_iter, every=n_iter,
-               n_chains=n_chains)  # compile + warmup
-        dt = 1e18
-        for rep in range(3):
-            t0 = time.perf_counter()
-            tm.run(jax.random.PRNGKey(rep + 1), n_iter=n_iter,
-                   every=n_iter, n_chains=n_chains)
-            dt = min(dt, time.perf_counter() - t0)
-        extras[f"treemcmc_{n_chains}chain_proposals_per_s"] = round(
-            n_iter * n_chains / dt, 1)
+    # full re-evaluation per proposal (scales to many chains) and the
+    # incremental partials-as-state sampler (O(depth) updates per
+    # proposal; the latency-oriented path — the TPU analog of the
+    # reference's store/restore + incremental recompute)
+    for inc, sweeps in ((False, ((64, 256), (512, 128))),
+                        (True, ((8, 512), (64, 256)))):
+        for n_chains, n_iter in sweeps:
+            tm.run(jax.random.PRNGKey(0), n_iter=n_iter, every=n_iter,
+                   n_chains=n_chains, incremental=inc)  # compile + warmup
+            dt = 1e18
+            for rep in range(3):
+                t0 = time.perf_counter()
+                tm.run(jax.random.PRNGKey(rep + 1), n_iter=n_iter,
+                       every=n_iter, n_chains=n_chains, incremental=inc)
+                dt = min(dt, time.perf_counter() - t0)
+            tag = "incr_" if inc else ""
+            extras[f"treemcmc_{tag}{n_chains}chain_proposals_per_s"] = \
+                round(n_iter * n_chains / dt, 1)
 
 
 def main():

@@ -330,9 +330,25 @@ class BatchedTreeMCMC:
     def run(self, key, params: dict = None, *, n_iter: int = 2000,
             every: int = 20, n_chains: int = 8, burnin: int = 0,
             bl_lambda: float = 0.6, param_step: float = 0.1,
-            init_jitter: float = 0.0):
+            init_jitter: float = 0.0, incremental: bool = False):
         """Returns dict with per-chunk samples of children/bl/u/logp
-        stacked as [n_samples, n_chains, ...] plus acceptance rates."""
+        stacked as [n_samples, n_chains, ...] plus acceptance rates.
+
+        ``incremental=True`` (parameter-free models only) carries the
+        per-chain partials as sampler state and recomputes ONLY the
+        root path after each move — the TPU-native analog of the
+        reference's dirty-flag incremental recompute + O(1)
+        store/restore (src/phyc/treelikelihood.c:126-161); rejection is
+        the ``jnp.where`` keeping the old state. O(depth) node updates
+        per proposal instead of O(N)."""
+        if incremental:
+            if self.dim:
+                raise ValueError("incremental tree-MCMC supports "
+                                 "parameter-free models (substitution/"
+                                 "site parameters held fixed)")
+            return self._run_incremental(
+                key, n_iter=n_iter, every=every, n_chains=n_chains,
+                burnin=burnin, bl_lambda=bl_lambda)
         from ..ops.dynamic_pruning import propose_nni_device
 
         tlk = self.tlk
@@ -358,7 +374,7 @@ class BatchedTreeMCMC:
                 mv = jax.random.uniform(k1)
                 is_nni = mv < p_nni
                 is_bl = (mv >= p_nni) & (mv < p_nni + p_bl)
-                ch_new = propose_nni_device(k2, children, T)
+                ch_new, _ = propose_nni_device(k2, children, T)
                 children_p = jnp.where(is_nni, ch_new, children)
                 j = jax.random.randint(k3, (), 0, N - 1)
                 m = jnp.exp(bl_lambda
@@ -424,4 +440,127 @@ class BatchedTreeMCMC:
             name: float(acc[i, 0] / max(acc[i, 1], 1.0))
             for i, name in enumerate(("nni", "branch", "params"))}
         res["space"] = space
+        return res
+
+    def _run_incremental(self, key, *, n_iter, every, n_chains, burnin,
+                         bl_lambda):
+        """Partials-as-state sampler (see ``run(incremental=True)``)."""
+        from ..ops.dynamic_pruning import (
+            parent_array, postorder_from_children, propose_nni_device,
+            root_loglik_from_partials, tree_partials_dynamic_ordered,
+            update_path_partials)
+
+        tlk = self.tlk
+        topo = tlk.topo
+        T, N = topo.T, topo.N
+        tp = jnp.asarray(tlk.tip_partials)
+        w = jnp.asarray(tlk.weights)
+        dt = w.dtype
+        params0 = {}  # dim == 0 guarded by run()
+        rates, props = tlk.site_model.rates_props(params0)
+        freqs = tlk.subst.frequencies(params0).astype(dt)
+        props = props.astype(dt)
+        rate = self.bl_prior_rate
+        p_nni = self.p_nni
+        rescale = tlk.rescale
+        subst = tlk.subst
+
+        def pmats_of(bl):
+            blc = jnp.clip(bl, 0.0, None)[:, None] * rates[None, :]
+            return subst.p_t(params0, blc).astype(dt)
+
+        def prow_of(blj):
+            blc = jnp.clip(blj, 0.0, None)[None, None] * rates[None, :]
+            return subst.p_t(params0, blc)[0].astype(dt)
+
+        def logpost_of(buf, scal, bl):
+            ll = root_loglik_from_partials(buf, scal, freqs, props, w,
+                                           rescale=rescale)[0]
+            n_br = bl.shape[0] - 1
+            return ll + n_br * jnp.log(rate) - rate * jnp.sum(bl[:-1])
+
+        ck = ("incr", float(bl_lambda))
+        if ck not in self._chunk_cache:
+            def kernel(state, key):
+                children, bl, pmats, buf, scal, logp, acc = state
+                k1, k2, k3, k4, k6 = jax.random.split(key, 5)
+                is_nni = jax.random.uniform(k1) < p_nni
+                ch_nni, c = propose_nni_device(k2, children, T)
+                children_p = jnp.where(is_nni, ch_nni, children)
+                j = jax.random.randint(k3, (), 0, N - 1)
+                m = jnp.exp(bl_lambda
+                            * (jax.random.uniform(k4, dtype=dt) - 0.5))
+                bl_p = jnp.where(is_nni, bl, bl.at[j].mul(m))
+                pmats_p = jnp.where(is_nni, pmats,
+                                    pmats.at[j].set(prow_of(bl_p[j])))
+                parent = parent_array(children_p, T)
+                start = jnp.where(is_nni, c, parent[j])
+                buf_p, scal_p = update_path_partials(
+                    buf, scal, pmats_p, children_p, start, T,
+                    rescale=rescale, parent=parent)
+                lp_new = logpost_of(buf_p, scal_p, bl_p)
+                log_hr = jnp.where(is_nni, 0.0, jnp.log(m))
+                ok = (jnp.log(jax.random.uniform(k6, dtype=dt))
+                      < lp_new - logp + log_hr) & jnp.isfinite(lp_new)
+                children = jnp.where(ok, children_p, children)
+                bl = jnp.where(ok, bl_p, bl)
+                pmats = jnp.where(ok, pmats_p, pmats)
+                buf = jnp.where(ok, buf_p, buf)
+                scal = jnp.where(ok, scal_p, scal)
+                logp = jnp.where(ok, lp_new, logp)
+                slot = jnp.where(is_nni, 0, 1)
+                acc = acc.at[slot, 0].add(ok.astype(dt))
+                acc = acc.at[slot, 1].add(1.0)
+                return (children, bl, pmats, buf, scal, logp, acc)
+
+            @jax.jit
+            def run_chunk(states, keys):
+                def one_chain(state, keys):
+                    def body(st, k):
+                        return kernel(st, k), None
+
+                    st, _ = jax.lax.scan(body, state, keys)
+                    return st
+
+                return jax.vmap(one_chain)(states, keys)
+
+            @jax.jit
+            def init_state(children, bl):
+                pmats = pmats_of(bl)
+                order = postorder_from_children(children, T)
+                buf, scal = tree_partials_dynamic_ordered(
+                    tp, pmats, children, order, rescale=rescale)
+                return pmats, buf, scal, logpost_of(buf, scal, bl)
+
+            self._chunk_cache[ck] = (run_chunk, jax.vmap(init_state))
+        run_chunk, init_state = self._chunk_cache[ck]
+
+        ch0 = jnp.asarray(topo.children[:, :2], jnp.int32)
+        bl0 = jnp.concatenate([
+            jnp.asarray(np.nan_to_num(tlk.distances_init, nan=0.1), dt),
+            jnp.zeros(1, dt)])
+        chs = jnp.tile(ch0, (n_chains, 1, 1))
+        bls = jnp.tile(bl0, (n_chains, 1))
+        pmats, buf, scal, lps = init_state(chs, bls)
+        states = (chs, bls, pmats, buf, scal, lps,
+                  jnp.zeros((n_chains, 2, 2), dtype=dt))
+
+        n_samples = max(n_iter // every, 1)
+        burn_chunks = burnin // every
+        out = {"children": [], "bl": [], "logp": []}
+        for ci in range(n_samples + burn_chunks):
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, n_chains * every).reshape(
+                n_chains, every, 2)
+            states = run_chunk(states, keys)
+            if ci >= burn_chunks:
+                out["children"].append(np.asarray(states[0]))
+                out["bl"].append(np.asarray(states[1]))
+                out["logp"].append(np.asarray(states[5]))
+        acc = np.asarray(states[6]).sum(0)
+        res = {k: np.stack(v) for k, v in out.items()}
+        res["acceptance"] = {
+            name: float(acc[i, 0] / max(acc[i, 1], 1.0))
+            for i, name in enumerate(("nni", "branch"))}
+        res["space"] = self.space
         return res

@@ -141,6 +141,105 @@ def tree_loglik_dynamic_ordered(tip_partials, pmats, children, order, freqs,
     return jnp.sum(weights * site_log), site_log
 
 
+def parent_array(children, T: int):
+    """parent[n] for every node; the root points to itself."""
+    I = children.shape[0]
+    N = T + I
+    nodes = T + jnp.arange(I, dtype=jnp.int32)
+    parent = jnp.full(N, N - 1, jnp.int32)
+    parent = parent.at[children[:, 0]].set(nodes)
+    parent = parent.at[children[:, 1]].set(nodes)
+    return parent.at[N - 1].set(N - 1)
+
+
+def tree_partials_dynamic_ordered(tip_partials, pmats, children, order, *,
+                                  rescale: bool = False):
+    """Full postorder sweep that RETURNS the partials/scaler state
+    (buf [N, C, S, P], scal [N, P]) — the initial state for the
+    incremental-recompute sampler (``update_path_partials``)."""
+    T, S, P = tip_partials.shape
+    N, C = pmats.shape[0], pmats.shape[1]
+    dtype = tip_partials.dtype
+    buf = jnp.zeros((N, C, S, P), dtype=dtype)
+    buf = buf.at[:T].set(tip_partials[:, None, :, :])
+    scal = jnp.zeros((N, P), dtype=dtype)
+
+    def body(carry, r):
+        buf, scal = carry
+        l = children[r, 0]
+        rt = children[r, 1]
+        res = jnp.einsum("cij,cjp->cip", pmats[l], buf[l]) * jnp.einsum(
+            "cij,cjp->cip", pmats[rt], buf[rt])
+        if rescale:
+            m = jnp.maximum(jnp.max(res, axis=(0, 1)),
+                            jnp.finfo(dtype).tiny)
+            res = res / m[None, None, :]
+            scal = scal.at[T + r].set(scal[l] + scal[rt] + jnp.log(m))
+        buf = buf.at[T + r].set(res)
+        return (buf, scal), None
+
+    (buf, scal), _ = jax.lax.scan(body, (buf, scal), order)
+    return buf, scal
+
+
+def root_loglik_from_partials(buf, scal, freqs, props, weights, *,
+                              rescale: bool = False):
+    """(logL, site_log) from a partials state (root = last node)."""
+    root = buf.shape[0] - 1
+    site_l = jnp.einsum("s,csp->cp", freqs, buf[root])
+    site_log = jnp.log(jnp.einsum("c,cp->p", props, site_l))
+    if rescale:
+        site_log = site_log + scal[root]
+    return jnp.sum(weights * site_log), site_log
+
+
+def update_path_partials(buf, scal, pmats, children, start, T: int, *,
+                         rescale: bool = False, parent=None):
+    """Incremental recompute: refresh partials from ``start`` (a node id)
+    up the root path only — the TPU-native analog of the reference's
+    dirty-flag incremental recomputation + O(1) store/restore buffer
+    flips (reference: src/phyc/treelikelihood.c:126-161): the old state
+    stays untouched in the caller (``jnp.where`` on accept IS the
+    restore), and each proposal pays O(depth) node updates instead of
+    O(N).
+
+    Runs a ``lax.while_loop`` climbing parent pointers; under vmap the
+    loop executes max-path-length iterations across the batch, with
+    finished chains idempotently re-computing the root (reads-only-state
+    makes the extra iterations exact no-ops).
+    """
+    N = buf.shape[0]
+    I = children.shape[0]
+    dtype = buf.dtype
+    if parent is None:
+        parent = parent_array(children, T)
+
+    def recompute(carry):
+        buf, scal, node, done = carry
+        r = node - T
+        l = children[r, 0]
+        rt = children[r, 1]
+        res = jnp.einsum("cij,cjp->cip", pmats[l], buf[l]) * jnp.einsum(
+            "cij,cjp->cip", pmats[rt], buf[rt])
+        if rescale:
+            m = jnp.maximum(jnp.max(res, axis=(0, 1)),
+                            jnp.finfo(dtype).tiny)
+            res = res / m[None, None, :]
+            scal = scal.at[node].set(scal[l] + scal[rt] + jnp.log(m))
+        buf = buf.at[node].set(res)
+        done = node == N - 1
+        node = jnp.where(done, node, parent[node])
+        return buf, scal, node, done
+
+    def cond(carry):
+        return ~carry[3]
+
+    buf, scal, _, _ = jax.lax.while_loop(
+        cond, recompute, (buf, scal, start.astype(jnp.int32),
+                          jnp.asarray(False)))
+    return buf, scal
+
+
 def propose_nni_device(key, children, T: int):
     """One uniform rooted-NNI move as pure index edits (device data).
 
@@ -153,14 +252,15 @@ def propose_nni_device(key, children, T: int):
     are untouched), matching standard NNI branch semantics. The edited
     array may violate children-before-parents id order — evaluate with
     ``postorder_from_children`` + ``tree_loglik_dynamic_ordered``.
+
+    Returns ``(children', c)`` — c is the deepest dirtied node, the
+    root-path start for the incremental evaluator
+    (``update_path_partials``).
     """
     I = children.shape[0]
     N = T + I
     k1, k2 = jax.random.split(key)
-    nodes = T + jnp.arange(I, dtype=jnp.int32)
-    parent = jnp.zeros(N, jnp.int32)
-    parent = parent.at[children[:, 0]].set(nodes)
-    parent = parent.at[children[:, 1]].set(nodes)
+    parent = parent_array(children, T)
 
     c = jax.random.randint(k1, (), T, N - 1, dtype=jnp.int32)
     p = parent[c]
@@ -175,7 +275,7 @@ def propose_nni_device(key, children, T: int):
                       jnp.stack([s, children[rc, 1]]))
     out = children.at[rc].set(c_row)
     p_row = jnp.where(children[rp] == s, a, children[rp])
-    return out.at[rp].set(p_row)
+    return out.at[rp].set(p_row), c
 
 
 def fitch_score_dynamic(tip_sets, children, weights):

@@ -186,7 +186,7 @@ class TestBatchedTreeMCMC:
         key = jax.random.PRNGKey(0)
         for i in range(25):
             key, sub = jax.random.split(key)
-            ch = propose_nni_device(sub, ch, topo.T)
+            ch, _ = propose_nni_device(sub, ch, topo.T)
             chn = np.asarray(ch)
             # every non-root node appears exactly once as a child
             flat = sorted(chn.ravel().tolist())
@@ -226,6 +226,75 @@ class TestBatchedTreeMCMC:
         assert 0.0 < res["acceptance"]["nni"] < 1.0
         assert 0.0 < res["acceptance"]["branch"] < 1.0
         assert np.all(np.isfinite(res["logp"]))
+        taxa = list(topo.taxa)
+        hits = total = 0
+        S, B = res["children"].shape[:2]
+        for si in range(S):
+            for b in range(B):
+                sets = set(_splits_from_children(
+                    res["children"][si, b], taxa)[topo.T:])
+                total += 1
+                if frozenset({"A", "B"}) in sets or \
+                   frozenset({"C", "D"}) in sets:
+                    hits += 1
+        assert hits / total > 0.9, hits / total
+
+    def test_incremental_recompute_matches_full(self):
+        """The partials-as-state sampler (incremental=True): after a run,
+        every chain's carried log-posterior must equal a from-scratch
+        evaluation of its final (children, bl) state — stale partials or
+        a wrong dirty path would show up here. Mirrors the reference's
+        incremental-vs-full recompute invariant
+        (src/phyc/treelikelihood.c:126-161)."""
+        import jax.numpy as jnp
+
+        from physher_tpu.inference.treemcmc import BatchedTreeMCMC
+        from physher_tpu.ops.dynamic_pruning import (
+            postorder_from_children, tree_loglik_dynamic_ordered)
+
+        tlk = _tiny_tlk()
+        tm = BatchedTreeMCMC(tlk)
+        res = tm.run(jax.random.PRNGKey(3), n_iter=400, every=400,
+                     n_chains=6, incremental=True)
+        assert 0.0 < res["acceptance"]["nni"] < 1.0
+        assert 0.0 < res["acceptance"]["branch"] < 1.0
+        tp = jnp.asarray(tlk.tip_partials)
+        w = jnp.asarray(tlk.weights)
+        freqs = tlk.subst.frequencies({})
+        props = jnp.ones(1, w.dtype)
+        rate = tm.bl_prior_rate
+        for b in range(6):
+            ch = jnp.asarray(res["children"][-1, b])
+            bl = jnp.asarray(res["bl"][-1, b])
+            pm = tlk.subst.p_t(
+                {}, jnp.clip(bl, 0.0, None)[:, None]).astype(w.dtype)
+            order = postorder_from_children(ch, tlk.topo.T)
+            ll = tree_loglik_dynamic_ordered(
+                tp, pm, ch, order, freqs.astype(w.dtype), props, w,
+                rescale=tlk.rescale)[0]
+            n_br = bl.shape[0] - 1
+            lp = float(ll + n_br * np.log(rate) - rate * np.sum(bl[:-1]))
+            np.testing.assert_allclose(res["logp"][-1, b], lp, rtol=1e-8)
+
+    def test_incremental_recovers_true_topology(self):
+        rng = np.random.default_rng(0)
+        L = 400
+        anc = rng.integers(0, 4, L)
+        other = (anc + 1 + rng.integers(0, 3, L)) % 4
+        alpha = "ACGT"
+        seqs = {"A": "".join(alpha[i] for i in anc),
+                "B": "".join(alpha[i] for i in anc),
+                "C": "".join(alpha[i] for i in other),
+                "D": "".join(alpha[i] for i in other)}
+        sp = SitePattern.from_alignment(seqs)
+        topo, _ = read_newick("((A:0.1,C:0.1):0.1,(B:0.1,D:0.1):0.1);")
+        tlk = TreeLikelihood(sp, topo, JC69(),
+                             distances_init=np.full(topo.N - 1, 0.1))
+        from physher_tpu.inference.treemcmc import BatchedTreeMCMC
+
+        tm = BatchedTreeMCMC(tlk, p_nni=0.4)
+        res = tm.run(jax.random.PRNGKey(1), n_iter=1500, every=50,
+                     n_chains=8, burnin=500, incremental=True)
         taxa = list(topo.taxa)
         hits = total = 0
         S, B = res["children"].shape[:2]
