@@ -161,12 +161,18 @@ class Roofline:
         return self.achieved_gbs / peak_bw
 
     def report(self) -> str:
+        frac = self.fraction_of_peak()
+        # with both roofs far away the limiting-roof label misleads:
+        # the kernel is really bound by per-op latency / pipeline
+        # occupancy, not the roof it happens to sit under
+        bound = (self.bound() if frac >= 0.3
+                 else f"{self.bound()}-roof, latency/occupancy")
         return (f"{self.flops/1e9:.2f} GFLOP, {self.bytes/1e6:.1f} MB, "
                 f"{self.seconds*1e3:.3f} ms -> "
                 f"{self.achieved_tflops:.2f} TFLOP/s, "
                 f"{self.achieved_gbs:.1f} GB/s "
-                f"({self.bound()}-bound, "
-                f"{100*self.fraction_of_peak():.1f}% of peak on "
+                f"({bound}-bound, "
+                f"{100*frac:.1f}% of peak on "
                 f"{self.chip})")
 
 
