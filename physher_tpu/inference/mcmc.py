@@ -341,16 +341,19 @@ class MCMC:
 
         run_chunk = self._compiled_chunk()
 
-        # large chain batches route any TreeLikelihood in the target to
-        # the level-array XLA engine: the trace-time batch probe cannot
-        # see through a scan body (see treelikelihood._vmap_batch_size),
-        # and the driver knows n_chains. Measured on v5e (fluA): XLA 92k
-        # evals/s at 4096 chains vs fused Pallas 36k. Deterministic in
-        # n_chains, so the jit cache (keyed on shapes) stays consistent.
+        # chain batches route any TreeLikelihood in the target to the
+        # level-array XLA engine: the trace-time batch probe cannot see
+        # through a scan body (see treelikelihood._vmap_batch_size), and
+        # the driver knows n_chains. Measured inside the MH scan on v5e
+        # (fluA, proposals/s, fused vs xla): 2 chains 4.6k/4.8k, 8
+        # chains 16k/19k, 32 chains 39k/70k, 64 chains 50k/120k, 4096
+        # chains 46k/198k — XLA wins from 2 chains up and ties at 1.
+        # Deterministic in n_chains, so the jit cache (keyed on shapes)
+        # stays consistent.
         from ..models.treelikelihood import engine_override
         import contextlib
 
-        eng_ctx = (engine_override("xla") if n_chains >= 256
+        eng_ctx = (engine_override("xla") if n_chains >= 2
                    else contextlib.nullcontext())
 
         # initial state
