@@ -34,6 +34,24 @@ import jax as _jax
 if _jax.config.jax_default_matmul_precision is None:
     _jax.config.update("jax_default_matmul_precision", "high")
 
+# Persistent XLA compilation cache: phylogenetic models recompile the same
+# executables across processes (CLI runs, MCMC restarts, CI), and TPU compile
+# of the fused likelihood graphs costs seconds — the reference binary has no
+# compile step, so fresh-process parity demands the cache. Opt out with
+# PHYSHER_TPU_NO_COMPILE_CACHE=1; override location with JAX_COMPILATION_CACHE_DIR.
+if os.environ.get("PHYSHER_TPU_NO_COMPILE_CACHE", "0") != "1":
+    _cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     ".jax_cache"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # older jax without the knobs: cache is best-effort
+        pass
+
 
 def enable_x64(enable: bool = True) -> None:
     """Enable float64 computation globally (required for golden-value parity)."""
