@@ -391,6 +391,13 @@ def bench_elbo(extras):
     vh = ctx.objects["varnormal"]
     eta = float(actions[0].get("eta", 0.1))
 
+    # compile_s includes trace+lowering every process pays; XLA executables
+    # additionally persist across processes (physher_tpu enables a
+    # persistent compilation cache) — report which case this run hit
+    cache_dir = os.path.join(BASE, ".jax_cache")
+    extras["fluA_elbo_compile_cache_warm"] = bool(
+        os.path.isdir(cache_dir) and os.listdir(cache_dir))
+
     # throughput: 1000 iterations, 100-step scan chunks (dispatch latency
     # dominates this 238-pattern model otherwise), no early stop
     t0 = time.perf_counter()
