@@ -39,7 +39,10 @@ if _jax.config.jax_default_matmul_precision is None:
 # of the fused likelihood graphs costs seconds — the reference binary has no
 # compile step, so fresh-process parity demands the cache. Opt out with
 # PHYSHER_TPU_NO_COMPILE_CACHE=1; override location with JAX_COMPILATION_CACHE_DIR.
-if os.environ.get("PHYSHER_TPU_NO_COMPILE_CACHE", "0") != "1":
+# CPU-only processes (tests, golden parity) skip it: XLA:CPU AOT entries pin
+# host ISA features and loading them on a different host risks SIGILL.
+if (os.environ.get("PHYSHER_TPU_NO_COMPILE_CACHE", "0") != "1"
+        and os.environ.get("JAX_PLATFORMS", "").lower() != "cpu"):
     _cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",

@@ -291,7 +291,16 @@ class Runner:
 
     def _run_tree_mcmc(self, node, tlk, length, every):
         """MCMC with NNI topology moves (reference: operator.c nni operator;
-        the chain samples topology + branch lengths + model parameters)."""
+        the chain samples topology + branch lengths + model parameters).
+
+        ``"chains": B > 1`` in the mcmc node routes to the device-side
+        vmapped-chain sampler (BatchedTreeMCMC: NNI as index edits inside
+        one jitted scan; ``"incremental": true`` additionally carries
+        partials-as-state for O(depth) updates on parameter-free models)."""
+        n_chains = int(node.get("chains", 0))
+        if n_chains > 1:
+            return self._run_tree_mcmc_batched(node, tlk, length, every,
+                                               n_chains)
         from ..inference.treemcmc import TreeMCMC
 
         sampler = TreeMCMC(tlk)
@@ -322,6 +331,57 @@ class Runner:
         self.update_pool(res.params_at(-1) if len(res.trees) else {})
         acc = ", ".join(f"{k}:{v:.2f}" for k, v in res.acceptance.items())
         print(f"MCMC finished: {length} iterations; acceptance {acc}",
+              file=self.out)
+        return res
+
+    def _run_tree_mcmc_batched(self, node, tlk, length, every, n_chains):
+        """Device-side vmapped-chain topology MCMC from the config surface.
+
+        Chain 0's draws feed the reference-format tree/posterior logs (the
+        reference logs one chain, src/phyc/logmcmc.c); the full per-chain
+        sample batch stays available in ``results[id]``."""
+        import jax.numpy as jnp
+
+        from ..inference.treemcmc import BatchedTreeMCMC, children_to_newick
+
+        sampler = BatchedTreeMCMC(tlk)
+        incremental = bool(node.get("incremental", False)) and not sampler.dim
+        params = self.params_for(sampler.space) if sampler.dim else None
+        res = sampler.run(self.next_key(), params, n_iter=length,
+                          every=every, n_chains=n_chains,
+                          incremental=incremental)
+        self.results[node.get("id", "mcmc")] = res
+        S = res["logp"].shape[0]
+        states = (np.arange(S) + 1) * every
+        taxa = tlk.topo.taxa
+        for log_node in node.get("log", []):
+            fname = log_node.get("file")
+            if not fname:
+                continue
+            models = log_node.get("models", [])
+            if isinstance(models, str):
+                models = [models]
+            is_treelog = (str(fname).endswith((".trees", ".nex", ".nxs"))
+                          or any("tree" in str(m).lower() for m in models))
+            with open(self._path(fname), "w") as fh:
+                if is_treelog:
+                    for s in range(S):
+                        fh.write(children_to_newick(
+                            taxa, res["children"][s, 0], res["bl"][s, 0]))
+                        fh.write("\n")
+                else:
+                    fh.write("state\tposterior\n")
+                    for s in range(S):
+                        fh.write(f"{int(states[s])}\t"
+                                 f"{float(res['logp'][s, 0]):.10g}\n")
+        if sampler.dim:
+            space = res["space"]
+            u_last = jnp.asarray(res["u"][-1, 0])
+            self.update_pool(space.constrain(
+                space.unflatten_unconstrained(u_last)))
+        acc = ", ".join(f"{k}:{v:.2f}" for k, v in res["acceptance"].items())
+        print(f"MCMC finished: {length} iterations x {n_chains} chains "
+              f"(device-side topology moves); acceptance {acc}",
               file=self.out)
         return res
 

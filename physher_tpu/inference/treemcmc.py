@@ -259,6 +259,37 @@ class TreeMCMC:
         walk(nested, topo.root)
 
 
+def children_to_newick(taxa, children, bl=None) -> str:
+    """Newick string from a device-sampler [I, 2] children array.
+
+    Node ids follow the BatchedTreeMCMC convention (tips ``< T``, internal
+    row ``k`` = id ``T + k``, root = last row). NNI edits can break the
+    children-before-parents rank invariant, so this walks ids rather than
+    building a :class:`Topology` (whose validator enforces postorder)."""
+    import sys
+
+    taxa = list(taxa)
+    T = len(taxa)
+    I = len(children)
+    root = T + I - 1
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 10 * (T + I) + 100))
+    try:
+        def fmt(nid):
+            if nid < T:
+                s = taxa[nid]
+            else:
+                s = "(" + ",".join(fmt(int(c))
+                                   for c in children[nid - T]) + ")"
+            if bl is not None and nid != root:
+                s += f":{float(bl[nid]):.10g}"
+            return s
+
+        return fmt(root) + ";"
+    finally:
+        sys.setrecursionlimit(old)
+
+
 class BatchedTreeMCMC:
     """Vmapped-chain topology MCMC with NNI as DEVICE index edits.
 

@@ -235,6 +235,65 @@ class TestTreeMcmcConfig:
         assert topo.T == 10
 
 
+    def test_batched_tree_mcmc_routes_from_config(self, tmp_path):
+        """"chains" > 1 on an nni-operator mcmc node routes to the
+        device-side BatchedTreeMCMC (NNI as index edits in a vmapped jitted
+        scan) and still writes reference-format chain/tree logs."""
+        from physher_tpu.config.builder import build_config
+        from physher_tpu.config.actions import Runner
+        from physher_tpu.io.treeio import read_newick
+
+        cfg = {
+            "model": {
+                "id": "treelikelihood", "type": "treelikelihood",
+                "sitepattern": {
+                    "id": "patterns", "type": "sitepattern",
+                    "datatype": "nucleotide",
+                    "alignment": {"id": "seqs", "type": "alignment",
+                                  "file": os.path.join(DATA, "tiny.fa")}},
+                "sitemodel": {
+                    "id": "sitemodel", "type": "sitemodel",
+                    "substitutionmodel": {
+                        "id": "sm", "type": "substitutionmodel",
+                        "model": "jc69", "datatype": "nucleotide"}},
+                "tree": {"id": "tree", "type": "tree",
+                         "parameters": "tree.distances",
+                         "init": {"algorithm": "nj",
+                                  "sitepattern": "&patterns"}},
+            },
+            "physher": [
+                {"id": "mcmc", "type": "mcmc", "length": 400, "chains": 4,
+                 "incremental": True,
+                 "model": "&treelikelihood",
+                 "operators": [
+                     {"id": "o1", "type": "operator", "algorithm": "nni",
+                      "x": "&tree", "weight": 1},
+                     {"id": "o2", "type": "operator", "algorithm": "scaler",
+                      "x": "%tree.distances", "weight": 4}],
+                 "log": [
+                     {"id": "l1", "type": "logger", "every": 100,
+                      "file": str(tmp_path / "chain.log")},
+                     {"id": "l2", "type": "logger", "every": 100,
+                      "file": str(tmp_path / "chain.trees"),
+                      "models": "&tree"}]},
+            ],
+        }
+        ctx, actions = build_config(cfg, base_dir=DATA)
+        r = Runner(ctx, seed=1)
+        res = r.run(actions)["mcmc"]
+        assert res["children"].shape[1] == 4          # vmapped chains
+        assert 0 < res["acceptance"]["nni"] <= 1.0
+        lines = (tmp_path / "chain.log").read_text().strip().split("\n")
+        assert lines[0] == "state\tposterior"
+        assert len(lines) == 1 + res["logp"].shape[0]
+        trees = (tmp_path / "chain.trees").read_text().strip().split("\n")
+        assert len(trees) == res["logp"].shape[0]
+        topo, dist = read_newick(trees[-1])
+        assert topo.T == 10
+        import numpy as np
+        assert np.isfinite(dist[: topo.N - 1]).all()
+
+
 class TestTimeTreeOptimizer:
     def test_jc69_time_meta_optimizer_finishes(self, data_dir):
         """The reference's own time-tree test config (jc69-time.json, meta +
